@@ -1,0 +1,66 @@
+"""Politeness: robots disallow + per-host crawl-delay budget, as columns.
+
+Generalizes the reference's fixed inter-request sleeps
+(/root/reference/suplicmap_vector.py:161 — 2 s; /root/reference/getDirection.py:56-57
+— 5 s) and its pinned single-host concurrency caps
+(/root/reference/suplicmap_vector2.py:19 — 10 in flight) into a per-host
+token budget per round:
+
+    K_host = max(1, min(max_per_host, round_ms // crawl_delay_ms))
+
+computed identically by the oracle (spider_spark.oracle.host_budget). All
+JVM-side column math — no Python in the round's hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_spark.engine.udfs import path_col
+from spider_spark.oracle import CrawlPolicy
+
+
+def budget_col(delay_col, policy: CrawlPolicy):
+    """Per-host dequeue budget for one round (see module docstring)."""
+    d = F.coalesce(delay_col, F.lit(0))
+    return (
+        F.when(d <= 0, F.lit(policy.max_per_host))
+        .otherwise(
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(policy.max_per_host),
+                    F.floor(F.lit(policy.round_ms) / d).cast("int"),
+                ),
+            )
+        )
+        .cast("int")
+    )
+
+
+def disallowed_col(url_col, prefixes_col):
+    """True when the URL's path starts with any robots disallow prefix
+    (array<string>); null/empty prefix list → allowed. JVM-side
+    higher-order function — no UDF."""
+    path = path_col(url_col)
+    return F.coalesce(
+        F.exists(prefixes_col, lambda p: path.startswith(p)), F.lit(False)
+    )
+
+
+def with_robots(df: DataFrame, robots: DataFrame, policy: CrawlPolicy) -> DataFrame:
+    """Left-broadcast-join robots onto a frontier-shaped df (has `host`),
+    adding `blocked:boolean` and `budget:int`. The robots table is a tiny
+    dimension (one row per host) — always broadcast (J4 in SURVEY.md §2.3)."""
+    r = robots.select(
+        F.col("host").alias("_r_host"),
+        F.col("crawl_delay_ms").alias("_r_delay"),
+        F.col("disallow_prefixes").alias("_r_prefixes"),
+    )
+    joined = df.join(F.broadcast(r), df["host"] == r["_r_host"], "left")
+    return (
+        joined.withColumn("blocked", disallowed_col(F.col("url"), F.col("_r_prefixes")))
+        .withColumn("budget", budget_col(F.col("_r_delay"), policy))
+        .drop("_r_host", "_r_delay", "_r_prefixes")
+    )

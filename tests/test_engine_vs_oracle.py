@@ -1,0 +1,155 @@
+"""The correctness gate for the crawl engine (north_rule): the distributed
+Spark run must reproduce the pure-Python oracle's crawl ordering, URL-seen
+set, dead set, robots-blocked set, extracted text (byte-identical), and
+per-round metrics — under the same seed list + politeness budget."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spider_spark.oracle import CrawlPolicy, crawl
+
+
+POLICY = CrawlPolicy(max_per_host=4, round_ms=2_000, max_retries=2, max_rounds=12)
+
+
+def _oracle_inputs(world_dir):
+    import pyarrow.parquet as pq
+
+    pages_t = pq.read_table(os.path.join(world_dir, "pages.parquet"))
+    pages = dict(zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()))
+    seeds_t = pq.read_table(os.path.join(world_dir, "seeds.parquet"))
+    seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["priority"].to_pylist()))
+    rob_t = pq.read_table(os.path.join(world_dir, "robots.parquet"))
+    robots = {
+        h: (d, p)
+        for h, d, p in zip(
+            rob_t["host"].to_pylist(),
+            rob_t["crawl_delay_ms"].to_pylist(),
+            rob_t["disallow_prefixes"].to_pylist(),
+        )
+    }
+    return pages, seeds, robots
+
+
+@pytest.fixture(scope="module")
+def oracle_result(world_dir):
+    pages, seeds, robots = _oracle_inputs(world_dir)
+    return crawl(pages, seeds, robots, POLICY)
+
+
+def _run_engine(spark, world_dir, ckpt, **kw):
+    from spider_spark.engine import CrawlEngine
+
+    eng = CrawlEngine(
+        spark,
+        pages_path=os.path.join(world_dir, "pages.parquet"),
+        robots_path=os.path.join(world_dir, "robots.parquet"),
+        checkpoint_dir=ckpt,
+        policy=POLICY,
+        n_partitions=4,
+        **kw,
+    )
+    seeds = spark.read.parquet(os.path.join(world_dir, "seeds.parquet"))
+    eng.run(seeds=seeds)
+    return eng
+
+
+def _assert_match(eng, oracle_result, world_dir, spark):
+    # crawl order: exact (url, seq) match
+    got = {
+        r["url"]: r["seq"] for r in eng.results().select("url", "seq").collect()
+    }
+    want = dict(oracle_result.order)
+    assert got == want
+
+    # seen set exact
+    seen = {r["url"] for r in eng.seen().select("url").collect()}
+    assert seen == oracle_result.seen
+
+    # blocked set exact
+    blocked = {
+        r["url"]
+        for r in eng.seen().filter("disposition = 'blocked'").collect()
+    }
+    assert blocked == oracle_result.blocked
+
+    # dead set exact
+    dead_df = eng.dead()
+    dead = {r["url"] for r in dead_df.collect()} if dead_df is not None else set()
+    assert dead == oracle_result.dead
+
+    # byte-identical extracted text per url (north-rule invariant),
+    # checked against the golden pages.text column
+    pages = spark.read.parquet(os.path.join(world_dir, "pages.parquet"))
+    joined = (
+        eng.results()
+        .select("url", "text")
+        .join(pages.select("url", pages["text"].alias("golden")), "url")
+    )
+    assert joined.filter("text <> golden").count() == 0
+    assert joined.count() == len(want)
+
+    # per-round metrics match oracle counters
+    m = {
+        r["round"]: r.asDict()
+        for r in eng.metrics().collect()
+    }
+    for om in oracle_result.metrics:
+        em = m[om["round"]]
+        for k in ("dequeued", "fetched", "failed", "new_urls", "blocked", "pending"):
+            assert em[k] == om[k], (om["round"], k, em[k], om[k])
+
+
+def test_engine_matches_oracle(spark, world_dir, tmp_path, oracle_result):
+    eng = _run_engine(spark, world_dir, str(tmp_path / "ckpt"))
+    assert len(oracle_result.order) > 50
+    _assert_match(eng, oracle_result, world_dir, spark)
+
+
+def test_engine_without_bloom_identical(spark, world_dir, tmp_path, oracle_result):
+    """Bloom filter is a pre-screen only — disabling it must not change
+    any output (exactness guarantee)."""
+    eng = _run_engine(spark, world_dir, str(tmp_path / "ckpt_nb"), use_bloom=False)
+    _assert_match(eng, oracle_result, world_dir, spark)
+
+
+def test_resume_after_kill(spark, world_dir, tmp_path, oracle_result):
+    """Kill after round k, restart: final state identical to an
+    uninterrupted run (SURVEY.md §5.4; commit-marker atomicity)."""
+    from spider_spark.engine import CrawlEngine
+
+    ckpt = str(tmp_path / "ckpt_resume")
+    eng = CrawlEngine(
+        spark,
+        pages_path=os.path.join(world_dir, "pages.parquet"),
+        robots_path=os.path.join(world_dir, "robots.parquet"),
+        checkpoint_dir=ckpt,
+        policy=POLICY,
+        n_partitions=4,
+    )
+    seeds = spark.read.parquet(os.path.join(world_dir, "seeds.parquet"))
+    eng.run(seeds=seeds, max_rounds=3)  # "killed" after 3 rounds
+    assert eng.last_committed_round() == 3
+
+    # fresh engine object on same checkpoint — no seeds needed
+    eng2 = CrawlEngine(
+        spark,
+        pages_path=os.path.join(world_dir, "pages.parquet"),
+        robots_path=os.path.join(world_dir, "robots.parquet"),
+        checkpoint_dir=ckpt,
+        policy=POLICY,
+        n_partitions=4,
+    )
+    eng2.run()
+    _assert_match(eng2, oracle_result, world_dir, spark)
+
+
+def test_mapinpandas_fetch_mode_identical(spark, world_dir, tmp_path, oracle_result):
+    """The mapInPandas transport path must equal the relational join path."""
+    eng = _run_engine(
+        spark, world_dir, str(tmp_path / "ckpt_mp"), fetch_mode="mapinpandas"
+    )
+    _assert_match(eng, oracle_result, world_dir, spark)
