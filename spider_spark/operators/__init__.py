@@ -1,0 +1,49 @@
+"""Operator surface: every SQL-expressible operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable, registered together with its DuckDB
+oracle SQL. ``QUERIES`` / ``ORACLE`` feed ``__spark_entry__.queries()`` /
+``oracle_sql()`` directly.
+
+Conventions (driver compare is column-name-sorted value-hash):
+- every computed column aliased identically in Spark and SQL;
+- aggregate doubles rounded (2–6 dp) so JVM vs DuckDB float summation
+  order can't flip the hash;
+- timestamp outputs rendered as ISO strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+QUERIES: dict[str, Callable] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    """Register a query; ``sql=None`` → non-SQL-expressible (driver does a
+    rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def load(spark, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _register_all():
+    from spider_spark.operators import (  # noqa: F401
+        coords,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
+
+
+_register_all()

@@ -1,0 +1,166 @@
+"""Text-analysis operators for a training-data pipeline over `documents`.
+
+Language-ID heuristic, quality scoring, token counting, fingerprinting, and
+binary-column plumbing — the operations a 100 TB web-text corpus needs after
+the crawl lands pages (extract_text output ≙ documents.text).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spider_spark.operators import load, query
+from spider_spark.urlnorm import murmur3_32
+
+_STOPWORDS = ("the", "a")
+
+
+@query(
+    "t1_token_count",
+    """
+    SELECT lang,
+           sum(len(string_split(text, ' ')))  AS total_tokens,
+           count(*)                           AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def t1_token_count(spark, sf_dir):
+    """Whitespace token counting per language — JVM-side split+size, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "t2_lang_id_heuristic",
+    """
+    SELECT doc_id,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     x -> x = 'the' OR x = 'a'))
+                     >= 0.03 * len(string_split(text, ' '))
+                THEN 'en_like' ELSE 'other' END AS pred_lang
+    FROM documents
+    """,
+)
+def t2_lang_id_heuristic(spark, sf_dir):
+    """Stopword-ratio language ID — higher-order array functions keep it in
+    codegen (a real pipeline swaps the stopword list per candidate lang)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_n = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    return d.select(
+        "doc_id",
+        F.when(stop_n >= 0.03 * F.size(toks), F.lit("en_like"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "t3_text_quality",
+    """
+    SELECT doc_id,
+           length(text)                                     AS n_chars,
+           len(string_split(text, ' '))                     AS n_tokens,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' ')), 4)         AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 x -> x = 'the' OR x = 'a')) * 1.0
+                 / len(string_split(text, ' ')), 4)         AS stopword_ratio
+    FROM documents
+    """,
+)
+def t3_text_quality(spark, sf_dir):
+    """Quality-scoring features (length / token stats / stopword ratio) —
+    the Gopher-rules-style signals, all as column expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_n = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) * 1.0 / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(stop_n * 1.0 / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "t4_charclass_count",
+    """
+    SELECT lang,
+           sum(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS vowel_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def t4_charclass_count(spark, sf_dir):
+    """Character-class counting (the reference counts Han chars via regex
+    strip, /root/reference/test.py:217-220 — same op, vowel class here)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.length(F.regexp_replace("text", "[^aeiou]", ""))).alias(
+            "vowel_chars"
+        )
+    )
+
+
+@query("t5_doc_fingerprint")  # rolling hash — not SQL-expressible, rows-only
+def t5_doc_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (mod 2^61-1) as a
+    vectorized pandas UDF — the cheap shift-resistant content signature."""
+
+    @F.pandas_udf(T.LongType())
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        MOD = (1 << 61) - 1
+        BASE = 131
+
+        def fp(s: str) -> int:
+            h = 0
+            for ch in s:
+                h = (h * BASE + ord(ch)) % MOD
+            return h - (MOD if h > (MOD >> 1) else 0)  # keep in int64
+
+        return texts.map(fp)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "t6_binary_stats",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1))  AS first_byte
+    FROM documents
+    """,
+)
+def t6_binary_stats(spark, sf_dir):
+    """Opaque-binary-column plumbing (multimodal pattern): treat the payload
+    as bytes, compute typed metadata JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
+    )
+
+
+@query("t7_murmur_fingerprint")  # murmur3 not available in DuckDB — rows-only
+def t7_murmur_fingerprint(spark, sf_dir):
+    """Murmur3-32 content hash via Spark's built-in hash() (JVM-side) —
+    verified in tests against the pure-Python murmur3_32 (bit parity)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.hash("text").alias("content_hash"))
+
+
+def murmur_fingerprint_py(text: str) -> int:
+    """Driver/oracle-side twin of t7 (parity tested)."""
+    return murmur3_32(text)

@@ -1,0 +1,115 @@
+"""Local mimic of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet, compare schema
+column names, row counts, and column-name-sorted values.
+
+Used by tests/test_queries_vs_duckdb.py and runnable standalone:
+    python -m spider_spark.verify [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_run(sql: str, sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetch_df()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    # pandas/numpy scalars → python
+    if hasattr(v, "item"):
+        try:
+            v = v.item()
+        except Exception:
+            pass
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v
+    return str(v)
+
+
+def compare(spark_df, duck_df) -> tuple[bool, str]:
+    """Column-name-sorted, order-insensitive value comparison."""
+    import pandas as pd
+
+    sp = spark_df.toPandas()
+    cols_sp = sorted(sp.columns)
+    cols_dk = sorted(duck_df.columns)
+    if cols_sp != cols_dk:
+        return False, f"columns differ: spark={cols_sp} duckdb={cols_dk}"
+    if len(sp) != len(duck_df):
+        return False, f"row counts differ: spark={len(sp)} duckdb={len(duck_df)}"
+    a = [
+        tuple(_norm_cell(v) for v in row)
+        for row in sp[cols_sp].itertuples(index=False, name=None)
+    ]
+    b = [
+        tuple(_norm_cell(v) for v in row)
+        for row in duck_df[cols_dk].itertuples(index=False, name=None)
+    ]
+    a.sort(key=repr)
+    b.sort(key=repr)
+    if a != b:
+        diff_a = [r for r in a if r not in set(b)][:3]
+        diff_b = [r for r in b if r not in set(a)][:3]
+        return False, f"values differ; spark-only={diff_a} duckdb-only={diff_b}"
+    return True, "ok"
+
+
+def verify_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, str]:
+    from spider_spark.operators import ORACLE, QUERIES
+
+    results = {}
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in ORACLE:
+                ddf = duckdb_run(ORACLE[name], sf_dir)
+                ok, msg = compare(sdf, ddf)
+                results[name] = "PASS" if ok else f"FAIL: {msg}"
+            else:
+                n = sdf.count()
+                results[name] = f"ROWS_ONLY({n})"
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"ERROR: {type(e).__name__}: {e}"
+    return results
+
+
+if __name__ == "__main__":
+    from spider_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    spark = get_spark(master="local[8]")
+    res = verify_all(spark, sf, only)
+    bad = 0
+    for k in sorted(res):
+        print(f"{k:28s} {res[k]}")
+        if res[k].startswith(("FAIL", "ERROR")):
+            bad += 1
+    print(f"\n{len(res)} queries, {bad} failing")
+    sys.exit(1 if bad else 0)
