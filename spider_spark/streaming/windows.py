@@ -16,9 +16,9 @@ def tumbling_counts_stream(
 ) -> DataFrame:
     """Tumbling-window per-type counts — the streaming analog of the
     reference's hourly fetch loop (one output row per (hour, type))."""
-    src = events
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → TZ
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
@@ -39,9 +39,9 @@ def sliding_avg_stream(
 ) -> DataFrame:
     """Sliding-window average (the scraped 24h rolling column, W3) as an
     overlapping window agg."""
-    src = events
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → TZ
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"))
         .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
@@ -50,16 +50,17 @@ def sliding_avg_stream(
 
 
 def run_stream_from_parquet(
-    spark, events_path: str, out_table: str = "stream_out", window: str = "1 hour"
+    spark, events_dir: str, out_table: str = "stream_out", window: str = "1 hour"
 ) -> DataFrame:
-    """Micro-batch run: readStream over the events parquet with
-    availableNow trigger → in-memory sink; returns the final table.
-    One micro-batch round ≙ one crawl round in the engine's model."""
-    schema = spark.read.parquet(events_path).schema
+    """Micro-batch run: readStream over a directory of events parquet files
+    with availableNow trigger → in-memory sink; returns the final table.
+    One micro-batch round ≙ one crawl round in the engine's model.
+    (FileStreamSource requires a directory, one file per micro-batch.)"""
+    schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(events_path)
+        .parquet(events_dir)
     )
     agg = tumbling_counts_stream(stream, window=window)
     q = (
