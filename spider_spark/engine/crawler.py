@@ -45,8 +45,7 @@ from spider_spark.engine import seen as seen_mod
 from spider_spark.engine.politeness import with_robots
 from spider_spark.engine.udfs import (
     canonicalize_udf,
-    extract_links_udf,
-    extract_text_udf,
+    extract_text_links_udf,
     host_col,
 )
 from spider_spark.oracle import CrawlPolicy
@@ -108,8 +107,14 @@ class CrawlEngine:
         n_partitions: int = 8,
         use_bloom: bool = True,
         fetch_mode: str = "join",  # "join" | "mapinpandas"
+        bench_mode: bool = False,
     ):
+        """``bench_mode`` drops per-round observability writes (metrics,
+        dead table, disposition counts) to measure steady-state crawl
+        throughput; correctness-relevant state (results/seen/frontier) is
+        untouched."""
         assert fetch_mode in ("join", "mapinpandas")
+        self.bench_mode = bench_mode
         self.spark = spark
         self.pages_path = pages_path
         self.robots_path = robots_path
@@ -224,10 +229,22 @@ class CrawlEngine:
 
     # ---------- fetch ----------
     def _fetch(self, dequeued: DataFrame) -> DataFrame:
-        """Returns dequeued + html column (null = fetch miss)."""
+        """Returns dequeued + html column (null = fetch miss).
+
+        Join mode broadcasts the (budget-bounded, hence small) dequeued set
+        into the pages scan — the big table is never shuffled; misses are
+        recovered with a second broadcast anti-join. At real scale this is
+        the 'probe the page store' pattern; the store side only streams.
+        """
         if self.fetch_mode == "join":
             pages = self.spark.read.parquet(self.pages_path).select("url", "html")
-            return dequeued.join(pages, "url", "left")
+            hits = pages.join(F.broadcast(dequeued), "url", "inner").select(
+                *dequeued.columns, "html"
+            )
+            misses = dequeued.join(
+                F.broadcast(hits.select("url")), "url", "left_anti"
+            ).withColumn("html", F.lit(None).cast("binary"))
+            return hits.unionByName(misses)
         from spider_spark.engine.fetch import (
             PagesTableTransport,
             fetch_map_in_pandas,
@@ -241,6 +258,16 @@ class CrawlEngine:
 
     # ---------- one round ----------
     def run_round(self, r: int, next_seq: int) -> dict:
+        import time as _time
+
+        timings: dict[str, float] = {}
+
+        def _mark(key: str, t0: float) -> float:
+            t1 = _time.time()
+            timings[key] = round(t1 - t0, 2)
+            return t1
+
+        t = _time.time()
         pending = self.spark.read.parquet(self._path("state", r - 1))
         dequeued = self._dequeue(pending).persist()
 
@@ -248,17 +275,34 @@ class CrawlEngine:
         ok = fetched.filter(F.col("html").isNotNull())
         miss = fetched.filter(F.col("html").isNull())
 
-        # --- extract + crawl-order seq (pure function of data)
-        enriched = ok.withColumn("text", extract_text_udf("html")).withColumn(
-            "links", extract_links_udf("html", "url")
+        # --- extract (Arrow UDFs), html dropped immediately: only text/links
+        #     flow further, never page bytes. Explicit repartition on url:
+        #     the broadcast fetch preserves the page store's layout, where
+        #     one host's pages are contiguous — without this, a hot host's
+        #     whole round lands in one task and the UDF stage stragglers.
+        enriched = (
+            ok.repartition(self.n_partitions, "url")
+            .withColumn("tl", extract_text_links_udf("html", "url"))
+            .withColumn("text", F.col("tl.text"))
+            .withColumn("links", F.col("tl.links"))
+            .drop("html", "tl")
+            .persist()
         )
-        with_seq, seq_handle, seq_end = assign_global_seq(
-            enriched,
+
+        # --- crawl-order seq (pure function of data): rank only the slim
+        #     (priority, discovery_time, url) projection, broadcast it back —
+        #     text/links are never range-shuffled
+        slim = enriched.select("priority", "discovery_time", "url")
+        with_seq_slim, seq_handle, seq_end = assign_global_seq(
+            slim,
             ["priority", "discovery_time", "url"],
             next_seq,
             self.n_partitions,
         )
-        results = with_seq.select(
+        t = _mark("seq_counts", t)
+        results = enriched.join(
+            F.broadcast(with_seq_slim.select("url", "seq")), "url"
+        ).select(
             "url",
             "seq",
             "text",
@@ -267,10 +311,11 @@ class CrawlEngine:
         )
         results.write.mode("overwrite").parquet(self._path("results", r))
         n_fetched = seq_end - next_seq  # from assign_global_seq's count pass
+        t = _mark("fetch_extract_write", t)
 
         # --- discovered links → min(parent prio)+1, dedup vs seen
         links = (
-            with_seq.select(
+            enriched.select(
                 F.explode("links").alias("url"),
                 (F.col("priority") + 1).alias("p"),
             )
@@ -310,14 +355,18 @@ class CrawlEngine:
             seen_mod.build_blobs(
                 seen_delta.select("url"), self.n_partitions
             ).write.mode("overwrite").parquet(self._path("seen_blob", r))
-        disp_counts = {
-            row["blocked"]: row["c"]
-            for row in new_flagged.groupBy("blocked").agg(
-                F.count("*").alias("c")
-            ).collect()
-        }
-        n_new = disp_counts.get(False, 0)
-        n_blocked = disp_counts.get(True, 0)
+        t = _mark("links_seen_write", t)
+        if self.bench_mode:
+            n_new = n_blocked = -1
+        else:
+            disp_counts = {
+                row["blocked"]: row["c"]
+                for row in new_flagged.groupBy("blocked").agg(
+                    F.count("*").alias("c")
+                ).collect()
+            }
+            n_new = disp_counts.get(False, 0)
+            n_blocked = disp_counts.get(True, 0)
 
         # --- retry / dead accounting (reference: failed_urls drain +
         #     dead_link tally, suplicmap_vector2.py:131-142,155-158)
@@ -328,11 +377,15 @@ class CrawlEngine:
                 (F.col("retries") + 1).alias("retries"),
             )
         )
-        dead_rows = miss.filter(
-            F.col("retries") + 1 > self.policy.max_retries
-        ).select("url").persist()
-        dead_rows.write.mode("overwrite").parquet(self._path("dead", r))
-        n_dead = dead_rows.count()
+        dead_rows = None
+        if self.bench_mode:
+            n_dead = -1
+        else:
+            dead_rows = miss.filter(
+                F.col("retries") + 1 > self.policy.max_retries
+            ).select("url").persist()
+            dead_rows.write.mode("overwrite").parquet(self._path("dead", r))
+            n_dead = dead_rows.count()
 
         # --- next frontier snapshot, co-partitioned by host_hash
         remaining = pending.join(dequeued.select("url"), "url", "left_anti")
@@ -344,22 +397,28 @@ class CrawlEngine:
             .persist()
         )
         state_next.write.mode("overwrite").parquet(self._path("state", r))
+        t = _mark("state_write", t)
 
-        n_dequeued = dequeued.count()
         n_pending = state_next.count()
-        n_failed = n_dequeued - n_fetched
-        metrics = self.spark.createDataFrame(
-            [
-                (
-                    r, n_dequeued, n_fetched, n_failed, n_new, n_blocked,
-                    n_dead, n_pending,
-                )
-            ],
-            "round int, dequeued long, fetched long, failed long, "
-            "new_urls long, blocked long, dead long, pending long",
-        )
-        metrics.write.mode("overwrite").parquet(self._path("metrics", r))
+        if self.bench_mode:
+            n_dequeued = n_fetched
+            n_failed = -1
+        else:
+            n_dequeued = dequeued.count()
+            n_failed = n_dequeued - n_fetched
+            metrics = self.spark.createDataFrame(
+                [
+                    (
+                        r, n_dequeued, n_fetched, n_failed, n_new, n_blocked,
+                        n_dead, n_pending,
+                    )
+                ],
+                "round int, dequeued long, fetched long, failed long, "
+                "new_urls long, blocked long, dead long, pending long",
+            )
+            metrics.write.mode("overwrite").parquet(self._path("metrics", r))
 
+        timings["counts"] = round(_time.time() - t, 2)
         meta = {
             "round": r,
             "next_seq": seq_end,
@@ -370,10 +429,15 @@ class CrawlEngine:
             "new_urls": n_new,
             "blocked": n_blocked,
             "dead": n_dead,
+            "timings": timings,
         }
         self._commit(r, meta)
-        for h in (dequeued, fetched, new_flagged, seq_handle, dead_rows, state_next):
-            h.unpersist()
+        for h in (
+            dequeued, fetched, enriched, new_flagged, seq_handle,
+            dead_rows, state_next,
+        ):
+            if h is not None:
+                h.unpersist()
         return meta
 
     # ---------- driver loop ----------

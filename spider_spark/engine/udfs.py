@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from spider_spark.extract import extract_links, extract_text
+from spider_spark.extract import extract_links, extract_text, extract_text_and_links
 from spider_spark.urlnorm import canonicalize_url
 
 
@@ -32,6 +32,30 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     for b, u in zip(html, base_url):
         out.append(extract_links(b, u) if b is not None and u is not None else [])
     return pd.Series(out)
+
+
+_TEXT_LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pandas_udf(_TEXT_LINKS_SCHEMA)
+def extract_text_links_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    """Single-pass text+links — the crawl hot path (half the parse cost of
+    calling the two UDFs separately; value-identical, tested)."""
+    texts, links = [], []
+    for b, u in zip(html, base_url):
+        if b is None or u is None:
+            texts.append(None)
+            links.append([])
+        else:
+            t, ls = extract_text_and_links(b, u)
+            texts.append(t)
+            links.append(ls)
+    return pd.DataFrame({"text": texts, "links": links})
 
 
 @pandas_udf(T.StringType())

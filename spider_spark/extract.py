@@ -119,6 +119,23 @@ class _LinkExtractor(HTMLParser):
                     self.hrefs.append(v)
 
 
+class _TextAndLinkExtractor(_TextExtractor):
+    """Single-pass text + href harvest — same outputs as running
+    _TextExtractor and _LinkExtractor separately (asserted in tests), at
+    half the parse cost. The engine's hot path uses this."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":  # no drop-depth guard: _LinkExtractor has none either
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+        super().handle_starttag(tag, attrs)
+
+
 def extract_text(html: str | bytes) -> str:
     """HTML → extracted text. MUST stay byte-deterministic: the golden
     ``pages.text`` fixture column, the oracle, and the engine UDF all call
@@ -129,6 +146,30 @@ def extract_text(html: str | bytes) -> str:
     p.feed(html)
     p.close()
     return "\n".join(p.lines)
+
+
+def _canonicalize_hrefs(hrefs: list[str], base_url: str) -> list[str]:
+    from spider_spark.urlnorm import canonicalize_url
+
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in hrefs:
+        canon = canonicalize_url(href, base=base_url)
+        if canon is not None and canon not in seen:
+            seen.add(canon)
+            out.append(canon)
+    return out
+
+
+def extract_text_and_links(html: str | bytes, base_url: str) -> tuple[str, list[str]]:
+    """Single-pass (extract_text(html), extract_links(html, base_url)) —
+    byte/value-identical to the two separate calls (tested)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    p = _TextAndLinkExtractor()
+    p.feed(html)
+    p.close()
+    return "\n".join(p.lines), _canonicalize_hrefs(p.hrefs, base_url)
 
 
 def extract_links(html: str | bytes, base_url: str) -> list[str]:
@@ -143,11 +184,4 @@ def extract_links(html: str | bytes, base_url: str) -> list[str]:
     p = _LinkExtractor()
     p.feed(html)
     p.close()
-    out: list[str] = []
-    seen: set[str] = set()
-    for href in p.hrefs:
-        canon = canonicalize_url(href, base=base_url)
-        if canon is not None and canon not in seen:
-            seen.add(canon)
-            out.append(canon)
-    return out
+    return _canonicalize_hrefs(p.hrefs, base_url)

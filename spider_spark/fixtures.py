@@ -45,10 +45,14 @@ def _page_url(host: str, j: int, private: bool = False) -> str:
     return f"http://{host}{prefix}/p/{j}"
 
 
-def _make_html(rng: random.Random, host: str, j: int, links: list[str]) -> str:
-    """One synthetic page: title, AQI-like grid, KV detail table, nav links."""
+def _make_html(
+    rng: random.Random, host: str, j: int, links: list[str], weight: int = 1
+) -> str:
+    """One synthetic page: title, AQI-like grid, KV detail table, nav links.
+    ``weight`` scales the grid size (bench worlds use heavier pages so the
+    extract stage carries realistic per-page parse cost)."""
     rows = []
-    for r in range(rng.randint(2, 5)):
+    for r in range(rng.randint(2 * weight, 5 * weight)):
         station = _STATIONS[rng.randrange(len(_STATIONS))]
         cells = [
             f"<td>{station}</td>",
@@ -87,11 +91,19 @@ def build_world(
     hot_factor: int = 100,
     seed: int = 42,
     dead_link_rate: float = 0.04,
+    branching: int = 2,
+    with_text: bool = True,
+    delays: list[int] | None = None,
+    seed_all_hosts: bool = False,
+    page_weight: int = 1,
 ):
     """Build the synthetic web in memory.
 
     Returns dict with keys ``pages`` (list of row dicts), ``seeds``,
     ``robots``. host 0 is the hot host (~hot_factor × median size).
+    ``branching`` controls BFS-tree fan-out (depth = log_b(host size)) —
+    bench worlds use a high branching so crawls are wide and shallow.
+    ``with_text=False`` skips the golden text column (bench-only worlds).
     """
     rng = random.Random(seed)
     hosts = [f"h{i}.test" for i in range(n_hosts)]
@@ -103,7 +115,8 @@ def build_world(
             sizes.append(max(3, int(median_pages * 2 / (1 + i % 7))))
 
     # robots: even-index hosts disallow /private; crawl delays vary (incl. 0)
-    delays = [0, 100, 250, 500, 1000, 2000]
+    if delays is None:
+        delays = [0, 100, 250, 500, 1000, 2000]
     robots = []
     for i, h in enumerate(hosts):
         robots.append(
@@ -133,27 +146,31 @@ def build_world(
         n = len(urls_h)
         for j, u in enumerate(urls_h):
             # BFS-tree children within host + occasional cross-host root link
-            links = [urls_h[c] for c in (2 * j + 1, 2 * j + 2) if c < n]
+            links = [
+                urls_h[c]
+                for c in range(branching * j + 1, branching * (j + 1) + 1)
+                if c < n
+            ]
             if j % 5 == 2 and n_hosts > 1:
                 links.append(per_host_urls[(i + 1 + j) % n_hosts][0])
             if rng.random() < dead_link_rate:
                 links.append(f"http://{h}/missing/{j}")  # dead link
             if j % 7 == 3:
                 links.append(u)  # self link — dedup must drop it
-            html = _make_html(rng, h, j, links)
+            html = _make_html(rng, h, j, links, weight=page_weight)
             pages.append(
                 {
                     "url": u,
                     "warc_ts": EPOCH + timedelta(seconds=(i * 100000 + j)),
                     "html": html.encode("utf-8"),
-                    "text": extract_text(html),
+                    "text": extract_text(html) if with_text else "",
                     "lang": "zh" if rng.random() < 0.6 else "en",
                 }
             )
 
+    n_seed_hosts = n_hosts if seed_all_hosts else min(n_hosts, 6)
     seeds = [
-        {"url": per_host_urls[i][0], "priority": 0}
-        for i in range(min(n_hosts, 6))
+        {"url": per_host_urls[i][0], "priority": 0} for i in range(n_seed_hosts)
     ]
     return {"pages": pages, "seeds": seeds, "robots": robots}
 

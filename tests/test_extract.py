@@ -35,6 +35,25 @@ def test_extract_links_canonical_dedup_order():
     assert links == ["http://h0.test/x", "http://other.test/y"]
 
 
+def test_single_pass_equals_two_pass():
+    """extract_text_and_links must equal (extract_text, extract_links)
+    exactly — the engine hot path uses the single-pass variant while the
+    oracle uses the two-pass ones."""
+    from spider_spark.extract import extract_text_and_links
+    from spider_spark.fixtures import build_world
+
+    base = "http://h0.test/p/3"
+    t, ls = extract_text_and_links(HTML, base)
+    assert t == extract_text(HTML)
+    assert ls == extract_links(HTML, base)
+
+    world = build_world(n_hosts=3, median_pages=8, hot_factor=4, seed=7)
+    for p in world["pages"]:
+        t, ls = extract_text_and_links(p["html"], p["url"])
+        assert t == extract_text(p["html"])
+        assert ls == extract_links(p["html"], p["url"])
+
+
 def test_fixture_text_is_golden():
     """pages.text must equal extract_text(pages.html) — the invariant the
     engine UDF is checked against."""
