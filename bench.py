@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus the crawl-engine scaling benchmark
+(same job at N and 4N cores — the sandbox evidence protocol for
+BASELINE.json's two-cluster-size criterion; see BENCH/BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "crawl": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_rollup",
+    "q3_order_revenue",
+    "q5_nation_volume",
+    "s2_scan_windows",
+    "a1_conditional_rollup",
+    "w1_adjacent_pairs",
+    "w3_sliding_avg",
+    "o5_topk_per_group",
+    "p6_first_match_per_group",
+    "f17_json_access",
+    "t2_lang_id_heuristic",
+    "t3_text_quality",
+    "d1_exact_dedup",
+    "d2_token_jaccard",
+    "d3_minhash_lsh",
+    "ann_bruteforce_topk",
+]
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+    from spider_spark.operators import QUERIES
+    from spider_spark.session import get_spark
+
+    spark = get_spark(
+        app="spider_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra={"spark.driver.memory": "48g"},
+    )
+    times: dict[str, float] = {}
+    try:
+        for name in HEADLINE:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times[name] = round(time.time() - t0, 2)
+    finally:
+        spark.stop()
+    return times
+
+
+def run_crawl_scaling() -> dict:
+    from spider_spark.bench_crawl import (
+        _run_level_subprocess,
+        ensure_world,
+        machine_ceiling,
+    )
+
+    world = ensure_world(os.path.join(REPO, ".bench_cache", "world_v1"))
+    work = os.path.join(REPO, ".bench_cache", "work")
+    levels = {}
+    for cores in (2, 8, 32):
+        levels[f"local{cores}"] = _run_level_subprocess(cores, world, work)
+    pps2 = levels["local2"]["pages_per_sec"]
+    pps8 = levels["local8"]["pages_per_sec"]
+    pps32 = levels["local32"]["pages_per_sec"]
+    return {
+        **levels,
+        "scaling_efficiency_2_to_8": round((pps8 / pps2) / 4, 3),
+        "scaling_efficiency_8_to_32": round((pps32 / pps8) / 4, 3),
+        "machine_ceiling_2_to_8": machine_ceiling(2, 8),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
+
+    qtimes = run_headline(sf_dir, cpus)
+    skip_crawl = os.environ.get("SPARK_GRAFT_SKIP_CRAWL_BENCH") == "1"
+    crawl = {} if skip_crawl else run_crawl_scaling()
+
+    out = {
+        "metric": "headline query suite wall time (crawl scaling in 'crawl')",
+        "value": round(sum(qtimes.values()), 2),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "crawl": crawl,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

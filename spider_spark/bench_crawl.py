@@ -66,6 +66,8 @@ def run_crawl_bench(cores: int, world_dir: str, work_dir: str) -> dict:
         app=f"crawl_bench_{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
+        extra={"spark.driver.memory": "48g"},  # single-JVM local mode: heap
+        # must hold page batches × concurrent tasks without GC thrash
     )
     try:
         eng = CrawlEngine(
@@ -99,12 +101,74 @@ def run_crawl_bench(cores: int, world_dir: str, work_dir: str) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _run_level_subprocess(cores: int, world_dir: str, work_dir: str) -> dict:
+    """Each parallelism level gets its own JVM (a stopped local SparkContext
+    leaves its JVM and heap settings behind in-process — subprocesses keep
+    the two measurements clean)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "spider_spark.bench_crawl",
+         str(cores), world_dir, work_dir],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line from bench subprocess: {out.stderr[-2000:]}")
+
+
 def scaling_bench(world_dir: str, work_dir: str, n_small: int = 8, n_big: int = 32) -> dict:
-    small = run_crawl_bench(n_small, world_dir, work_dir)
-    big = run_crawl_bench(n_big, world_dir, work_dir)
+    small = _run_level_subprocess(n_small, world_dir, work_dir)
+    big = _run_level_subprocess(n_big, world_dir, work_dir)
     eff = (big["pages_per_sec"] / small["pages_per_sec"]) / (n_big / n_small)
     return {
         f"local{n_small}": small,
         f"local{n_big}": big,
         "scaling_efficiency": round(eff, 3),
     }
+
+
+def machine_ceiling(n_small: int = 2, n_big: int = 8) -> dict:
+    """Tight-CPU-loop multiprocessing scaling of THIS machine — the upper
+    bound any job can reach between the two parallelism levels. Shared-VM
+    CPU throttling shows up here, separating hardware ceiling from engine
+    overhead in the reported efficiency."""
+    import multiprocessing as mp
+    import time as _t
+
+    def _run(nproc: int) -> float:
+        t0 = _t.time()
+        with mp.Pool(nproc) as p:
+            p.map(_burn, [8_000_000] * nproc)
+        return _t.time() - t0
+
+    _run(n_small)  # warm
+    t_small = min(_run(n_small) for _ in range(2))
+    t_big = min(_run(n_big) for _ in range(2))
+    # constant work per proc: ideal t_big == t_small
+    return {
+        f"tightloop_sec_{n_small}p": round(t_small, 2),
+        f"tightloop_sec_{n_big}p": round(t_big, 2),
+        "ceiling_efficiency": round(t_small / t_big, 3),
+    }
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+if __name__ == "__main__":
+    import sys
+
+    cores_arg = int(sys.argv[1])
+    world = sys.argv[2]
+    work = sys.argv[3]
+    print("RESULT " + json.dumps(run_crawl_bench(cores_arg, world, work)))

@@ -125,6 +125,11 @@ class CrawlEngine:
         self.fetch_mode = fetch_mode
         os.makedirs(os.path.join(self.ckpt, "commits"), exist_ok=True)
         self.robots = spark.read.parquet(robots_path)
+        # the page store is probed twice per round (hits + miss anti-join);
+        # cache it across rounds — the sandbox stand-in for a page-store
+        # service / Iceberg scan with pushdown (real clusters don't re-read
+        # cold storage per round either)
+        self._pages_cache: DataFrame | None = None
 
     # ---------- commit protocol ----------
     def _marker(self, r: int) -> str:
@@ -237,7 +242,13 @@ class CrawlEngine:
         the 'probe the page store' pattern; the store side only streams.
         """
         if self.fetch_mode == "join":
-            pages = self.spark.read.parquet(self.pages_path).select("url", "html")
+            if self._pages_cache is None:
+                self._pages_cache = (
+                    self.spark.read.parquet(self.pages_path)
+                    .select("url", "html")
+                    .persist()
+                )
+            pages = self._pages_cache
             hits = pages.join(F.broadcast(dequeued), "url", "inner").select(
                 *dequeued.columns, "html"
             )

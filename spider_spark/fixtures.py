@@ -194,7 +194,9 @@ def write_world(out_dir: str, **kwargs) -> dict[str, str]:
         }
     )
     paths["pages"] = os.path.join(out_dir, "pages.parquet")
-    pq.write_table(pages_tbl, paths["pages"])
+    # small row groups: Spark parallelizes parquet reads at row-group
+    # granularity — one giant row group would serialize the whole scan
+    pq.write_table(pages_tbl, paths["pages"], row_group_size=4096)
 
     seeds_tbl = pa.table(
         {

@@ -116,13 +116,25 @@ def _shingles(text: str) -> list[str]:
     return [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
 
 
+_MH_PRIME = (1 << 61) - 1
+_mh_rs = __import__("numpy").random.RandomState(1234)
+# a < 2^31 keeps a·x + b < 2^63 + 2^31 (x < 2^32) — exact in uint64
+_MH_A = _mh_rs.randint(1, 1 << 31, size=N_PERM).astype("uint64")
+_MH_B = _mh_rs.randint(0, 1 << 31, size=N_PERM).astype("uint64")
+
+
 def minhash_signature(text: str) -> list[int]:
-    """N_PERM minhashes via seeded Murmur3 — pure, shared with tests."""
-    sh = set(_shingles(text))
-    sig = []
-    for p in range(N_PERM):
-        sig.append(min(murmur3_32(s, seed=p * 0x9E3779B9 + 1) & 0xFFFFFFFF for s in sh))
-    return sig
+    """N_PERM minhashes: one Murmur3 base hash per shingle, then N_PERM
+    universal-hash permutations h_i(x) = (a_i·x + b_i) mod p vectorized in
+    numpy — the standard trick that avoids N_PERM full hashes per shingle."""
+    import numpy as np
+
+    base = np.fromiter(
+        (murmur3_32(s) & 0xFFFFFFFF for s in set(_shingles(text))),
+        dtype="uint64",
+    )
+    perms = (base[:, None] * _MH_A + _MH_B) % np.uint64(_MH_PRIME)
+    return (perms.min(axis=0) & np.uint64(0xFFFFFFFF)).astype("int64").tolist()
 
 
 @query("d3_minhash_lsh")
