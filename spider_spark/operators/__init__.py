@@ -41,6 +41,7 @@ def _register_all():
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         textstats,
     )

@@ -1,0 +1,281 @@
+"""Second batch of relational operators: sessionization, rollup cubes,
+nested-JSON route analytics (the Baidu directions shape), catalog and
+tile-grid scans — the remaining SURVEY.md §2 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spider_spark.operators import load, query
+
+# ---------------------------------------------------------------------------
+# W4 — sessionization (gaps-and-islands): the stateful-streaming shape
+# (SURVEY.md §2.9 applyInPandasWithState analog) expressed as lag+cumsum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w4_sessionize",
+    """
+    SELECT user_id, session_id,
+           count(*)                                       AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT)      AS duration_s
+    FROM (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800 OR lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events)
+    ) GROUP BY user_id, session_id
+    """,
+)
+def w4_sessionize(spark, sf_dir):
+    """30-min-gap sessionization via lag + running sum — the batch
+    equivalent of a stateful streaming session operator."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(w) > 1800, F.lit(1)
+        ).when(F.lag("ts_s").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.floor(F.max("ts_s")) - F.floor(F.min("ts_s")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — rollup (the engine's metrics-cube; absent in the reference, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a8_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL')  AS flag,
+           coalesce(l_linestatus, 'ALL')  AS status,
+           count(*)                       AS n,
+           round(sum(l_quantity), 2)      AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate — one pass, grouping-set expansion."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F17/A1/W1 on the real nested shape: Baidu routes JSON
+# (/root/reference/getDirection.py:18-37,99-118) — build the nested doc with
+# to_json(collect_list(struct)), parse back with from_json, explode, roll up.
+# The oracle computes the same result from the flat tables directly, proving
+# the JSON round-trip preserves semantics.
+# ---------------------------------------------------------------------------
+
+_ROUTES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("line", T.IntegerType()),
+            T.StructField("dist", T.DoubleType()),
+            T.StructField("mode", T.StringType()),
+        ]
+    )
+)
+
+
+@query(
+    "f18_nested_routes",
+    """
+    SELECT l_orderkey AS trip_id,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 2)
+             AS walk_dist,
+           count(*) AS n_steps
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def f18_nested_routes(spark, sf_dir):
+    """Nested array<struct> round-trip: lineitem rows → JSON 'route steps'
+    per order → from_json → explode → conditional rollup (the cal_steps
+    walk-distance sum, /root/reference/getDirection.py:18-37)."""
+    li = load(spark, sf_dir, "lineitem")
+    docs = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("line"),
+                    F.col("l_quantity").alias("dist"),
+                    F.col("l_returnflag").alias("mode"),
+                )
+            )
+        ).alias("routes_json")
+    )
+    steps = docs.select(
+        F.col("l_orderkey").alias("trip_id"),
+        F.explode(F.from_json("routes_json", _ROUTES_SCHEMA)).alias("step"),
+    )
+    return steps.groupBy("trip_id").agg(
+        F.round(
+            F.sum(F.when(F.col("step.mode") == "R", F.col("step.dist")).otherwise(0.0)),
+            2,
+        ).alias("walk_dist"),
+        F.count("*").alias("n_steps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5 — service-catalog scan (meta-crawl): explode a catalog JSON document
+# into a layer worklist (/root/reference/suplicmap_vector_batch.py:49-93)
+# ---------------------------------------------------------------------------
+
+_CATALOG_JSON = (
+    '{"services":['
+    '{"name":"PNR","layers":[{"id":0,"type":"Feature Layer"},'
+    '{"id":1,"type":"Group Layer"},{"id":2,"type":"Feature Layer"}]},'
+    '{"name":"BASE","layers":[{"id":0,"type":"Feature Layer"}]},'
+    '{"name":"TILE","layers":[]}]}'
+)
+
+_CATALOG_SCHEMA = (
+    "struct<services:array<struct<name:string,"
+    "layers:array<struct<id:int,type:string>>>>>"
+)
+
+
+@query(
+    "s5_catalog_scan",
+    """
+    SELECT 'PNR' AS service, 0 AS layer_id
+    UNION ALL SELECT 'PNR', 2
+    UNION ALL SELECT 'BASE', 0
+    """,
+)
+def s5_catalog_scan(spark, sf_dir):
+    """Catalog JSON → crawl worklist: explode services → explode layers →
+    keep 'Feature Layer' (P5 layer-type filter,
+    /root/reference/suplicmap_vector2.py:264-266). The oracle pins the
+    expected worklist, proving the explode+filter pipeline."""
+    doc = spark.range(1).select(
+        F.from_json(F.lit(_CATALOG_JSON), _CATALOG_SCHEMA).alias("cat")
+    )
+    svc = doc.select(F.explode("cat.services").alias("svc"))
+    layers = svc.select(
+        F.col("svc.name").alias("service"), F.explode("svc.layers").alias("layer")
+    )
+    return layers.filter(F.col("layer.type") == "Feature Layer").select(
+        "service", F.col("layer.id").alias("layer_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — tile-grid scan: enumerate (level, row, col) from grid metadata
+# (/root/reference/suplicmap_tilemap.py:88-103,188-192)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s6_tile_grid",
+    """
+    SELECT lvl AS level, r AS row, c AS col,
+           printf('%d/%d_%d.png', lvl, r, c) AS tile_path
+    FROM generate_series(3, 4) t(lvl),
+         generate_series(0, 7) t2(r),
+         generate_series(0, 7) t3(c)
+    WHERE r < CAST(pow(2, lvl - 1) AS BIGINT) AND c < CAST(pow(2, lvl) AS BIGINT)
+    """,
+)
+def s6_tile_grid(spark, sf_dir):
+    """Tile-pyramid enumeration as range crossJoin — the fetch worklist the
+    reference builds with nested loops; {row}_{col}.png naming
+    (/root/reference/suplicmap_tilemap.py:168-179)."""
+    levels = spark.range(3, 5).select(F.col("id").cast("int").alias("level"))
+    rows = spark.range(0, 8).select(F.col("id").cast("int").alias("row"))
+    cols = spark.range(0, 8).select(F.col("id").cast("int").alias("col"))
+    grid = levels.crossJoin(rows).crossJoin(cols)
+    return grid.filter(
+        (F.col("row") < F.pow(F.lit(2.0), F.col("level") - 1).cast("long"))
+        & (F.col("col") < F.pow(F.lit(2.0), F.col("level")).cast("long"))
+    ).select(
+        "level",
+        "row",
+        "col",
+        F.format_string("%d/%d_%d.png", "level", "row", "col").alias("tile_path"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — tile-name → mosaic pixel offset (theta join via arithmetic,
+# /root/reference/merge_tiles.py:87-92): parse "{row}_{col}.png", place at
+# ((col-min_col)·256, (row-min_row)·256)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j5_tile_placement",
+    """
+    WITH tiles AS (
+      SELECT printf('%d_%d.png', r, c) AS fname
+      FROM generate_series(5, 9) t(r), generate_series(12, 15) t2(c)
+    ),
+    parsed AS (
+      SELECT fname,
+             CAST(split_part(fname, '_', 1) AS BIGINT) AS row,
+             CAST(split_part(split_part(fname, '_', 2), '.', 1) AS BIGINT) AS col
+      FROM tiles
+    )
+    SELECT fname, (col - min(col) OVER ()) * 256 AS px,
+                  (row - min(row) OVER ()) * 256 AS py
+    FROM parsed
+    """,
+)
+def j5_tile_placement(spark, sf_dir):
+    rows = spark.range(5, 10).select(F.col("id").alias("r"))
+    cols = spark.range(12, 16).select(F.col("id").alias("c"))
+    tiles = rows.crossJoin(cols).select(
+        F.format_string("%d_%d.png", "r", "c").alias("fname")
+    )
+    parsed = tiles.select(
+        "fname",
+        F.split("fname", "_").getItem(0).cast("long").alias("row"),
+        F.split(F.split("fname", "_").getItem(1), r"\.").getItem(0)
+        .cast("long")
+        .alias("col"),
+    )
+    w = Window.partitionBy()
+    return parsed.select(
+        "fname",
+        ((F.col("col") - F.min("col").over(w)) * 256).alias("px"),
+        ((F.col("row") - F.min("row").over(w)) * 256).alias("py"),
+    )

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark.operators.sources import (
+    jsonl_to_csv,
+    read_csv_source,
+    sanitize_field_name,
+    schema_from_service_fields,
+    write_binary_tiles,
+    write_hourly_partitioned,
+    write_jsonl,
+    write_schema_first,
+)
+
+
+def test_csv_source_encoding(spark, tmp_path):
+    p = tmp_path / "gbk.csv"
+    ("名称,数量\n深圳,3\n北京,5\n").encode("gbk")
+    p.write_bytes("名称,数量\n深圳,3\n北京,5\n".encode("gbk"))
+    df = read_csv_source(spark, str(p), encoding="GBK")
+    rows = {r["名称"]: r["数量"] for r in df.collect()}
+    assert rows == {"深圳": 3, "北京": 5}
+
+
+def test_jsonl_roundtrip_schema_union(spark, tmp_path):
+    """Open-schema dict rows: union of keys, missing filled with '' —
+    json2csv semantics (zjj_sz_gov_cn.py:34-61)."""
+    a = spark.createDataFrame([("cert1", "proj A")], ["许可证号", "项目名称"])
+    b = spark.createDataFrame([("cert2", "大院")], ["许可证号", "所在位置"])
+    out = str(tmp_path / "records.jsonl")
+    write_jsonl(a.unionByName(b, allowMissingColumns=True), out)
+    csv_dir = str(tmp_path / "records.csv")
+    unified = jsonl_to_csv(spark, out, csv_dir)
+    assert set(unified.columns) == {"许可证号", "项目名称", "所在位置"}
+    got = {r["许可证号"]: (r["项目名称"], r["所在位置"]) for r in unified.collect()}
+    assert got["cert1"] == ("proj A", "")
+    assert got["cert2"] == ("", "大院")
+    back = spark.read.option("header", True).csv(csv_dir)
+    assert back.count() == 2
+
+
+def test_hourly_partitioned_write(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    out = str(tmp_path / "hourly")
+    write_hourly_partitioned(events, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # partition pruning works on the layout
+    one_hour = back.filter("y=2024 and m=1 and d=1 and h=0")
+    plan = one_hour._jdf.queryExecution().executedPlan().toString()
+    assert one_hour.count() >= 0 and "PartitionFilters" in plan
+
+
+def test_schema_first_sink(spark, tmp_path):
+    fields = [
+        {"name": "OBJECTID", "type": "esriFieldTypeOID"},
+        {"name": "名 称(1)", "type": "esriFieldTypeString"},
+        {"name": "面积", "type": "esriFieldTypeDouble"},
+        {"name": "class", "type": "esriFieldTypeSmallInteger"},
+    ]
+    schema = schema_from_service_fields(fields)
+    assert [f.name for f in schema.fields] == ["OBJECTID", "名称_1_", "面积", "class"]
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        "bigint", "string", "double", "int",
+    ]
+    out = str(tmp_path / "gdb_like")
+    df = write_schema_first(
+        spark,
+        [(1, "宗地A", 120.5, 3), (2, "宗地B", 88.0, 4)],
+        fields,
+        out,
+        table_properties={"alias": "土地利用现状"},
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert back.schema["名称_1_"].metadata["alias"] == "土地利用现状"
+
+
+def test_sanitize_matches_engine_rule():
+    assert sanitize_field_name("a b-c.d(e)") == "ab_c_d_e_"
+    assert sanitize_field_name("名 称[1]") == "名称_1_"
+
+
+def test_binary_tile_layout(spark, tmp_path):
+    tiles = spark.createDataFrame(
+        [(8, r, c, bytes([r, c])) for r in range(3) for c in range(4)],
+        "level int, row int, col int, png binary",
+    )
+    out = str(tmp_path / "tiles")
+    write_binary_tiles(tiles, out)
+    back = spark.read.parquet(out).filter("level=8 and row=1")
+    assert back.count() == 4
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
