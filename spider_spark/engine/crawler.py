@@ -428,6 +428,23 @@ class CrawlEngine:
                 "new_urls long, blocked long, dead long, pending long",
             )
             metrics.write.mode("overwrite").parquet(self._path("metrics", r))
+            # per-partition lineage (north-star: "per-partition lineage +
+            # metrics"): which seen-partition produced how many pages/links
+            # this round — the audit trail a resume/debug reads
+            lineage = (
+                enriched.select(
+                    F.pmod(F.hash("url"), F.lit(self.n_partitions)).alias(
+                        "partition_id"
+                    ),
+                    F.size("links").alias("n_links"),
+                )
+                .groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("fetched"),
+                    F.sum("n_links").alias("links_emitted"),
+                )
+            )
+            lineage.write.mode("overwrite").parquet(self._path("lineage", r))
 
         timings["counts"] = round(_time.time() - t, 2)
         meta = {

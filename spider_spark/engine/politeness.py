@@ -49,6 +49,36 @@ def disallowed_col(url_col, prefixes_col):
     )
 
 
+def token_bucket_schedule(ranked: DataFrame) -> DataFrame:
+    """Intra-round fetch scheduling as a grouped-map token bucket
+    (north-star: "crawl-delay token bucket ... salted groupBy-host").
+
+    Input: admitted rows carrying `_host_rank` (the host-global dequeue
+    rank), `_delay` (crawl_delay_ms) and `_salt`. Output adds
+    `fire_at_ms` — the offset within the round at which the fetch may
+    fire: row with rank k fires at (k-1)·crawl_delay_ms, i.e. one token
+    per delay interval.
+
+    The groupBy key is (host, _salt), so a hot host's bucket is processed
+    on many tasks; offsets stay correct under salting because they are a
+    pure function of the pre-computed global per-host rank, never of which
+    bucket a row landed in (SURVEY.md §7 stage 4 determinism rule).
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [f for f in ranked.schema.fields] + [T.StructField("fire_at_ms", T.LongType())]
+    )
+
+    def _bucket(key, pdf):
+        pdf = pdf.copy()
+        delay = pdf["_delay"].fillna(0).astype("int64").clip(lower=0)
+        pdf["fire_at_ms"] = ((pdf["_host_rank"] - 1) * delay).astype("int64")
+        return pdf
+
+    return ranked.groupBy("host", "_salt").applyInPandas(_bucket, schema=out_schema)
+
+
 def with_robots(df: DataFrame, robots: DataFrame, policy: CrawlPolicy) -> DataFrame:
     """Left-broadcast-join robots onto a frontier-shaped df (has `host`),
     adding `blocked:boolean` and `budget:int`. The robots table is a tiny
