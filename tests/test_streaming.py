@@ -31,6 +31,44 @@ def test_sliding_window_overlap(spark, sf_dir):
     assert total_in_windows == 24 * n_events
 
 
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches —
+    final running totals equal the batch groupBy over both files."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spider_spark.streaming.stateful import run_stateful_from_parquet
+
+    events_dir = tmp_path / "ev_state"
+    events_dir.mkdir()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half1 = events.filter("event_id % 2 = 0")
+    half2 = events.filter("event_id % 2 = 1")
+    half1.coalesce(1).write.parquet(str(events_dir / "b1"))
+    half2.coalesce(1).write.parquet(str(events_dir / "b2"))
+    # flatten: move part files up so each is its own micro-batch
+    import glob
+    import os
+
+    for i, f in enumerate(glob.glob(str(events_dir / "b*" / "*.parquet"))):
+        shutil.move(f, str(events_dir / f"file{i}.parquet"))
+    shutil.rmtree(events_dir / "b1")
+    shutil.rmtree(events_dir / "b2")
+
+    got = run_stateful_from_parquet(spark, str(events_dir), "t_stateful")
+    want = events.groupBy("user_id").agg(
+        F.count("*").alias("events_total"),
+        F.round(F.sum("value"), 2).alias("value_total"),
+    )
+    g = {r["user_id"]: (r["events_total"], r["value_total"]) for r in got.collect()}
+    w = {r["user_id"]: (r["events_total"], r["value_total"]) for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid][0] == w[uid][0]
+        assert abs(g[uid][1] - w[uid][1]) < 0.05  # per-batch rounding
+
+
 def test_streaming_plan_has_watermark(spark, sf_dir):
     events_path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(events_path).schema
