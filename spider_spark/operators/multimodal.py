@@ -99,3 +99,48 @@ def mm_image_features(spark, sf_dir):
     )
     out = image_features(d)
     return out.withColumn("mean_intensity", F.round("mean_intensity", 4))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n_bytes: int = 256,
+    frame_len: int = 64,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Video-style frame sampling as a one-to-many mapInPandas (UDTF
+    shape): each binary payload emits one 'frame' per ``every_n_bytes``
+    stride — the partitioning/batching pattern for real video decode,
+    with the codec swapped for a deterministic byte-slice."""
+    from spider_spark.urlnorm import murmur3_32
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    frame = bytes(payload[off : off + frame_len])
+                    out.append((int(doc_id), i, frame, murmur3_32(frame)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hash"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+@query("mm_frame_sample")  # one-to-many decode plumbing → rows-only
+def mm_frame_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return frame_sample(d).select("doc_id", "frame_idx", "frame_hash")

@@ -236,6 +236,78 @@ def s6_tile_grid(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# O3 — stable order-of-first-appearance (header sort,
+# /root/reference/zjj_sz_gov_cn.py:42-44: headers sorted by first index)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o3_first_appearance",
+    """
+    SELECT event_type, min(event_id) AS first_seen
+    FROM events GROUP BY event_type ORDER BY first_seen
+    """,
+)
+def o3_first_appearance(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.min("event_id").alias("first_seen"))
+        .orderBy("first_seen")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F21 — ESRIJSON/GeoJSON feature parse (/root/reference/suplicmap_vector.py:87-95,
+# /root/reference/suplicmap_pnr_sz.py:96-99): nested geometry JSON → typed
+# struct → per-feature vertex counts + bbox
+# ---------------------------------------------------------------------------
+
+_FEATURES_JSON = (
+    '{"features":['
+    '{"attributes":{"OBJECTID":1,"NAME":"宗地A"},'
+    '"geometry":{"rings":[[[113.9,22.5],[113.91,22.5],[113.91,22.51],[113.9,22.5]]]}},'
+    '{"attributes":{"OBJECTID":2,"NAME":"宗地B"},'
+    '"geometry":{"rings":[[[114.0,22.6],[114.02,22.6],[114.02,22.62],'
+    '[114.0,22.62],[114.0,22.6]]]}}]}'
+)
+
+_FEATURES_SCHEMA = (
+    "struct<features:array<struct<"
+    "attributes:struct<OBJECTID:bigint,NAME:string>,"
+    "geometry:struct<rings:array<array<array<double>>>>>>>"
+)
+
+
+@query(
+    "f21_esrijson_parse",
+    """
+    SELECT 1 AS objectid, '宗地A' AS name, 4 AS n_vertices,
+           113.9 AS xmin, 113.91 AS xmax
+    UNION ALL
+    SELECT 2, '宗地B', 5, 114.0, 114.02
+    """,
+)
+def f21_esrijson_parse(spark, sf_dir):
+    """Parse the ESRIJSON feature page shape into typed structs, explode
+    features, compute ring vertex count and x-extent with higher-order
+    array functions (no UDF). Oracle pins the expected values."""
+    doc = spark.range(1).select(
+        F.from_json(F.lit(_FEATURES_JSON), _FEATURES_SCHEMA).alias("d")
+    )
+    feats = doc.select(F.explode("d.features").alias("f"))
+    ring = F.col("f.geometry.rings").getItem(0)
+    xs = F.transform(ring, lambda pt: pt.getItem(0))
+    return feats.select(
+        F.col("f.attributes.OBJECTID").cast("int").alias("objectid"),
+        F.col("f.attributes.NAME").alias("name"),
+        F.size(ring).alias("n_vertices"),
+        F.array_min(xs).alias("xmin"),
+        F.array_max(xs).alias("xmax"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J5 — tile-name → mosaic pixel offset (theta join via arithmetic,
 # /root/reference/merge_tiles.py:87-92): parse "{row}_{col}.png", place at
 # ((col-min_col)·256, (row-min_row)·256)

@@ -128,6 +128,47 @@ def write_schema_first(
     return df
 
 
+def write_geojson_feature_collection(
+    df: DataFrame, path: str, geometry_col: str = "geometry", props: list[str] | None = None
+) -> None:
+    """S12 — GeoJSON FeatureCollection single-file export
+    (/root/reference/suplicmap_pnr_sz.py:47-73 accumulates a features list
+    and dumps once): to_json(collect_list(struct)) builds the document
+    distributed, only the final assembled string lands on one writer."""
+    props = props or [c for c in df.columns if c != geometry_col]
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(*[F.col(p) for p in props]).alias("properties"),
+        F.col(geometry_col).alias("geometry"),
+    )
+    fc = df.agg(
+        F.to_json(
+            F.struct(
+                F.lit("FeatureCollection").alias("type"),
+                F.collect_list(feature).alias("features"),
+            )
+        ).alias("fc")
+    )
+    fc.coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_xls(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
+    """S10 — XLS(X) source (/root/reference/getDirection.py:62-120 via
+    xlrd). No excel reader ships in this container: gated behind an
+    import-try on openpyxl/xlrd through pandas; raises NotImplementedError
+    with the wiring documented otherwise."""
+    try:
+        import pandas as _pd
+
+        pdf = _pd.read_excel(path, sheet_name=sheet)  # needs openpyxl/xlrd
+    except ImportError as e:  # pragma: no cover - container lacks excel libs
+        raise NotImplementedError(
+            "XLS source needs openpyxl/xlrd (pandas.read_excel); convert to "
+            "CSV upstream or add the dependency"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
 def write_binary_tiles(df: DataFrame, path: str) -> None:
     """S14 — PNG-tile-per-key sink (/root/reference/suplicmap_tilemap.py:136-145):
     binary column + (level,row) partitioned layout replaces one-file-per-tile."""

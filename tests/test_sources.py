@@ -82,6 +82,42 @@ def test_sanitize_matches_engine_rule():
     assert sanitize_field_name("名 称[1]") == "名称_1_"
 
 
+def test_geojson_feature_collection(spark, tmp_path):
+    import glob
+    import json
+
+    from spider_spark.operators.sources import write_geojson_feature_collection
+
+    df = spark.createDataFrame(
+        [(1, "A", '{"type":"Point","coordinates":[113.9,22.5]}'),
+         (2, "B", '{"type":"Point","coordinates":[114.0,22.6]}')],
+        "fid int, name string, geometry string",
+    )
+    out = str(tmp_path / "fc")
+    write_geojson_feature_collection(df, out)
+    [txt] = glob.glob(out + "/part-*")
+    fc = json.loads(open(txt).read())
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == 2
+    assert {f["properties"]["name"] for f in fc["features"]} == {"A", "B"}
+
+
+def test_xls_gate(spark, tmp_path):
+    import pytest
+
+    from spider_spark.operators.sources import read_xls
+
+    try:
+        import openpyxl  # noqa: F401
+
+        has_excel = True
+    except ImportError:
+        has_excel = False
+    if not has_excel:
+        with pytest.raises((NotImplementedError, Exception)):
+            read_xls(spark, str(tmp_path / "missing.xlsx"))
+
+
 def test_binary_tile_layout(spark, tmp_path):
     tiles = spark.createDataFrame(
         [(8, r, c, bytes([r, c])) for r in range(3) for c in range(4)],
