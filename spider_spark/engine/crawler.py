@@ -130,6 +130,7 @@ class CrawlEngine:
         # service / Iceberg scan with pushdown (real clusters don't re-read
         # cold storage per round either)
         self._pages_cache: DataFrame | None = None
+        self._round_handles: list[DataFrame] = []
 
     # ---------- commit protocol ----------
     def _marker(self, r: int) -> str:
@@ -249,9 +250,14 @@ class CrawlEngine:
                     .persist()
                 )
             pages = self._pages_cache
-            hits = pages.join(F.broadcast(dequeued), "url", "inner").select(
-                *dequeued.columns, "html"
+            # persist hits: it feeds both the union and the miss anti-join —
+            # without this the big page-store probe runs twice per round
+            hits = (
+                pages.join(F.broadcast(dequeued), "url", "inner")
+                .select(*dequeued.columns, "html")
+                .persist()
             )
+            self._round_handles.append(hits)
             misses = dequeued.join(
                 F.broadcast(hits.select("url")), "url", "left_anti"
             ).withColumn("html", F.lit(None).cast("binary"))
@@ -462,10 +468,11 @@ class CrawlEngine:
         self._commit(r, meta)
         for h in (
             dequeued, fetched, enriched, new_flagged, seq_handle,
-            dead_rows, state_next,
+            dead_rows, state_next, *self._round_handles,
         ):
             if h is not None:
                 h.unpersist()
+        self._round_handles = []
         return meta
 
     # ---------- driver loop ----------
