@@ -37,9 +37,11 @@ def load(spark, sf_dir: str, name: str):
 
 def _register_all():
     from spider_spark.operators import (  # noqa: F401
+        asof,
         coords,
         dedup,
         multimodal,
+        rangejoin,
         relational,
         relational2,
         similarity,

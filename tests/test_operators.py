@@ -45,6 +45,24 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pairwise_plans_never_cartesian(spark, sf_dir):
+    """The dedup/similarity pair generators must stay blocked/broadcast —
+    an unblocked cartesian over the corpus would be a 10^20-row plan at
+    target scale."""
+    for name in ("d2_token_jaccard", "d5_embedding_neardup", "d4_simhash"):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    """Brute-force ANN: tiny query set broadcast (BNLJ), corpus streams —
+    the corpus side must never shuffle."""
+    plan = QUERIES["ann_bruteforce_topk"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi (!=) + broadcast
+    assert "CartesianProduct" not in plan
+
+
 def test_murmur_fingerprint_parity(spark, sf_dir):
     """t7's JVM hash() equals pure-Python murmur3_32 on real document text."""
     from spider_spark.urlnorm import murmur3_32
