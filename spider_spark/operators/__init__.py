@@ -35,6 +35,31 @@ def load(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ntz_epoch_s(col):
+    """Seconds since epoch for a TIMESTAMP_NTZ column, independent of the
+    session timezone (a cast to TIMESTAMP would shift by the session
+    offset; NTZ-to-NTZ timestampdiff matches DuckDB's epoch() on naive
+    timestamps)."""
+    from pyspark.sql import functions as F
+
+    name = col if isinstance(col, str) else None
+    expr = name or "ts"
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {expr})"
+    )
+
+
+def ntz_epoch_ms(col_name: str):
+    from pyspark.sql import functions as F
+
+    return (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"{col_name}) / 1000"
+        )
+    ).cast("long")
+
+
 def _register_all():
     from spider_spark.operators import (  # noqa: F401
         asof,

@@ -101,10 +101,10 @@ def j7_asof_join(spark, sf_dir):
         purchases, clicks, on="user_id", left_ts="ts", right_ts="cts",
         right_cols=["click_id"],
     )
+    from spider_spark.operators import ntz_epoch_s
+
     return joined.select(
         "event_id",
-        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("long").alias(
-            "purchase_s"
-        ),
+        ntz_epoch_s("ts").cast("long").alias("purchase_s"),
         F.col("click_id_asof"),
     )

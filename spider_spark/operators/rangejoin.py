@@ -97,7 +97,7 @@ def f19_hypertable_rollup(spark, sf_dir):
     integer cents keep the rollup exact across engines."""
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
-        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),  # NTZ: timezone-free
         "event_type",
     ).agg(
         F.count("*").alias("n"),

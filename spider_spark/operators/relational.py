@@ -625,9 +625,11 @@ def w3_sliding_avg(spark, sf_dir):
     /root/reference/getRJWData.py:16-24; here recomputed as a range-frame
     window). Averaged over exact integer cents so the cross-engine float
     summation order can't shift the rounded result."""
+    from spider_spark.operators import ntz_epoch_s
+
     e = (
         load(spark, sf_dir, "events")
-        .withColumn("ts_s", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long"))
+        .withColumn("ts_s", ntz_epoch_s("ts").cast("long"))
         .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
     )
     w = (
@@ -792,10 +794,12 @@ def f2_regexp_extract_num(spark, sf_dir):
 )
 def f5_epoch_ms_date(spark, sf_dir):
     """Epoch-ms ↔ yyyy-MM-dd (/root/reference/suplicmap_vector.py:183-186)."""
+    from spider_spark.operators import ntz_epoch_ms
+
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_ms"),
+        ntz_epoch_ms("o_orderdate").alias("epoch_ms"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
     )
 
@@ -837,7 +841,9 @@ def f7_hour_sequence(spark, sf_dir):
     return spark.range(0, 24).select(
         F.col("id").alias("hour_idx"),
         F.date_format(
-            F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 3600),
+            F.expr(
+                "timestampadd(HOUR, id, TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ),
             "yyyy-MM-dd HH:00",
         ).alias("hour_ts"),
     )

@@ -43,9 +43,9 @@ from spider_spark.operators import load, query
 def w4_sessionize(spark, sf_dir):
     """30-min-gap sessionization via lag + running sum — the batch
     equivalent of a stateful streaming session operator."""
-    e = load(spark, sf_dir, "events").withColumn(
-        "ts_s", F.unix_timestamp(F.col("ts").cast("timestamp"))
-    )
+    from spider_spark.operators import ntz_epoch_s
+
+    e = load(spark, sf_dir, "events").withColumn("ts_s", ntz_epoch_s("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.withColumn(
         "new_session",
