@@ -475,6 +475,56 @@ class CrawlEngine:
         self._round_handles = []
         return meta
 
+    # ---------- maintenance ----------
+    def compact(self) -> dict:
+        """Merge accumulated seen deltas and bloom blobs into the last
+        committed round's directory and prune superseded frontier
+        snapshots — the Iceberg-compaction analog that keeps per-round
+        read fan-in O(1) instead of O(rounds).
+
+        Crash-safe by idempotence: the compacted `round=last` directory is
+        written first; duplicate URLs that would appear if a crash leaves
+        older delta dirs behind are harmless (seen is used via anti-join,
+        blobs via OR-merge)."""
+        import shutil
+
+        last = self.last_committed_round()
+        if not last:
+            return {"compacted": 0}
+        seen = self._read_delta_table("seen_delta", last).select(
+            "url", "disposition"
+        )
+        compacted_rows = seen.count()
+        seen.coalesce(max(1, self.n_partitions // 4)).write.mode(
+            "overwrite"
+        ).parquet(self._path("seen_delta", last) + "_compact")
+        if self.use_bloom:
+            blob_rows = self._read_delta_table("seen_blob", last).collect()
+            merged: dict[int, list] = {}
+            for row in blob_rows:
+                merged.setdefault(row["partition_id"], []).append(row)
+            out = [
+                (
+                    pid,
+                    sum(r["n_urls"] for r in rows),
+                    seen_mod.bloom_merge([r["filter_blob"] for r in rows]),
+                )
+                for pid, rows in merged.items()
+            ]
+            self.spark.createDataFrame(
+                out, "partition_id int, n_urls long, filter_blob binary"
+            ).write.mode("overwrite").parquet(
+                self._path("seen_blob", last) + "_compact"
+            )
+        # swap: compacted dir becomes round=last; older deltas removed
+        for table in ("seen_delta",) + (("seen_blob",) if self.use_bloom else ()):
+            for r in range(0, last + 1):
+                shutil.rmtree(self._path(table, r), ignore_errors=True)
+            os.replace(self._path(table, last) + "_compact", self._path(table, last))
+        for r in range(0, last):  # only the newest frontier snapshot is live
+            shutil.rmtree(self._path("state", r), ignore_errors=True)
+        return {"compacted": compacted_rows, "upto_round": last}
+
     # ---------- driver loop ----------
     def run(self, seeds: DataFrame | None = None, max_rounds: int | None = None) -> dict:
         """Run rounds until the frontier drains (or ``max_rounds`` this

@@ -79,10 +79,31 @@ def token_bucket_schedule(ranked: DataFrame) -> DataFrame:
     return ranked.groupBy("host", "_salt").applyInPandas(_bucket, schema=out_schema)
 
 
-def with_robots(df: DataFrame, robots: DataFrame, policy: CrawlPolicy) -> DataFrame:
+def robots_asof(robots: DataFrame, as_of=None) -> DataFrame:
+    """As-of selection over a versioned robots table: the newest fetch per
+    host with fetched_ts <= as_of (SURVEY.md §2.3: robots-cache validity).
+    With as_of=None, simply the latest version per host. max_by keeps it a
+    single aggregate — no window, no self-join."""
+    r = robots
+    if as_of is not None and "fetched_ts" in robots.columns:
+        r = r.filter(F.col("fetched_ts") <= F.lit(as_of))
+    if "fetched_ts" not in robots.columns:
+        return r
+    return r.groupBy("host").agg(
+        F.expr("max_by(crawl_delay_ms, fetched_ts)").alias("crawl_delay_ms"),
+        F.expr("max_by(disallow_prefixes, fetched_ts)").alias("disallow_prefixes"),
+        F.max("fetched_ts").alias("fetched_ts"),
+    )
+
+
+def with_robots(
+    df: DataFrame, robots: DataFrame, policy: CrawlPolicy, as_of=None
+) -> DataFrame:
     """Left-broadcast-join robots onto a frontier-shaped df (has `host`),
     adding `blocked:boolean` and `budget:int`. The robots table is a tiny
-    dimension (one row per host) — always broadcast (J4 in SURVEY.md §2.3)."""
+    dimension (one valid row per host after as-of selection) — always
+    broadcast (J4 in SURVEY.md §2.3)."""
+    robots = robots_asof(robots, as_of)
     r = robots.select(
         F.col("host").alias("_r_host"),
         F.col("crawl_delay_ms").alias("_r_delay"),
