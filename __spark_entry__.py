@@ -7,9 +7,16 @@ implemented operator from SURVEY.md §2 plus the training-data-pipeline ops
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make spider_spark importable regardless of the caller's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -98,6 +98,77 @@ def d2_token_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "d6_ngram3_jaccard",
+    """
+    WITH docgrams AS (
+      SELECT doc_id, source, lang,
+             list_transform(range(1, len(l) - 1),
+                            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS grams
+      FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS l
+            FROM documents)
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source, lang, unnest(grams) AS gram FROM docgrams
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+               JOIN sizes sb ON pairs.id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+    """,
+)
+def d6_ngram3_jaccard(spark, sf_dir):
+    """True 3-gram (shingle) Jaccard near-dup with exact oracle: shingles
+    via higher-order array functions (no UDF), blocked pair join on
+    (source, lang) through a shingle inverted index."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams_col = F.array_distinct(
+        F.when(
+            F.size(toks) >= SHINGLE_W,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - SHINGLE_W),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_W)),
+            ),
+        ).otherwise(F.array())
+    )
+    grams = d.select(
+        "doc_id", "source", "lang", F.explode(grams_col).alias("gram")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (not SQL-expressible → rows-only oracle check; exactness is
 # covered by the verify-step Jaccard and by unit tests)

@@ -70,7 +70,11 @@ def t2_lang_id_heuristic(spark, sf_dir):
                  / len(string_split(text, ' ')), 4)         AS avg_token_len,
            round(len(list_filter(string_split(text, ' '),
                                  x -> x = 'the' OR x = 'a')) * 1.0
-                 / len(string_split(text, ' ')), 4)         AS stopword_ratio
+                 / len(string_split(text, ' ')), 4)         AS stopword_ratio,
+           round(least(1.0, len(string_split(text, ' ')) / 100.0)
+                 * (1.0 - len(list_filter(string_split(text, ' '),
+                                          x -> x = 'the' OR x = 'a')) * 1.0
+                        / len(string_split(text, ' '))), 4) AS quality
     FROM documents
     """,
 )
@@ -89,6 +93,11 @@ def t3_text_quality(spark, sf_dir):
             F.length(F.regexp_replace("text", " ", "")) * 1.0 / n_tokens, 4
         ).alias("avg_token_len"),
         F.round(stop_n * 1.0 / n_tokens, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tokens / 100.0)
+            * (1.0 - stop_n * 1.0 / n_tokens),
+            4,
+        ).alias("quality"),
     )
 
 
