@@ -51,6 +51,9 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     )
     times: dict[str, float] = {}
     try:
+        # warm the JVM / codegen / parquet footer caches so the first timed
+        # query measures steady state, not session startup
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
         for name in HEADLINE:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
