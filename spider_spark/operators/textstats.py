@@ -162,6 +162,46 @@ def t6_binary_stats(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_clean_corpus",
+    """
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             round(least(1.0, len(string_split(d.text, ' ')) / 100.0)
+                   * (1.0 - len(list_filter(string_split(d.text, ' '),
+                                            x -> x = 'the' OR x = 'a')) * 1.0
+                          / len(string_split(d.text, ' '))), 4) AS quality
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    )
+    SELECT doc_id, lang, n_chars, quality FROM scored
+    WHERE quality >= 0.5 AND n_chars >= 100
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning: exact-dedup keepers → quality scoring →
+    threshold filter — the composed shape of a training-data prep job
+    (dedup + quality + length gates in one declarative plan)."""
+    d = load(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    toks = F.split("text", " ")
+    stop_n = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    quality = F.round(
+        F.least(F.lit(1.0), F.size(toks) / 100.0) * (1.0 - stop_n * 1.0 / F.size(toks)),
+        4,
+    )
+    return (
+        d.join(keepers, "doc_id")
+        .withColumn("quality", quality)
+        .filter((F.col("quality") >= 0.5) & (F.col("n_chars") >= 100))
+        .select("doc_id", "lang", "n_chars", "quality")
+    )
+
+
 @query("t7_murmur_fingerprint")  # murmur3 not available in DuckDB — rows-only
 def t7_murmur_fingerprint(spark, sf_dir):
     """Murmur3-32 content hash via Spark's built-in hash() (JVM-side) —
