@@ -74,37 +74,144 @@ def ann_bruteforce_topk(spark, sf_dir):
     )
 
 
-def hyperplanes(dim: int = 64) -> np.ndarray:
+N_CENTROIDS = 16
+N_PROBE = 4
+_KMEANS_ITERS = 5
+
+
+def train_ivf_centroids(sample: np.ndarray, k: int = N_CENTROIDS) -> np.ndarray:
+    """Deterministic mini k-means for the IVF coarse quantizer: init = the
+    first k sample rows (sample is taken in vec_id order), fixed iteration
+    count, pure numpy. At corpus scale the sample is a tiny driver-side
+    reservoir; assignment stays distributed."""
+    cent = sample[:k].copy()
+    for _ in range(_KMEANS_ITERS):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+@query("ann_ivf")  # k-means quantizer not SQL-expressible → rows-only
+def ann_ivf(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer (driver-trained on an id-ordered
+    sample, broadcast), vectors assigned to nearest centroid by a numpy
+    UDF, queries probe their N_PROBE nearest cells, exact cosine re-rank
+    inside the probed cells. The cell id is the shuffle key; candidates
+    per query ≈ corpus·N_PROBE/N_CENTROIDS instead of the full corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    sample = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in e.orderBy("vec_id").limit(512).collect()
+        ]
+    )
+    centroids = train_ivf_centroids(sample)
+    b_cent = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(embs: pd.Series) -> pd.Series:
+        cent = b_cent.value
+        mat = np.stack(embs.map(np.asarray).values).astype(np.float64)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(embs: pd.Series) -> pd.Series:
+        cent = b_cent.value
+        mat = np.stack(embs.map(np.asarray).values).astype(np.float64)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :N_PROBE].astype(np.int32)
+        return pd.Series(list(order))
+
+    corpus = e.withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    ).withColumn("cell", cell_udf("embedding"))
+    q = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("probe_cell", F.explode(probe_udf("embedding")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            "probe_cell",
+        )
+    )
+    scored = (
+        corpus.select("vec_id", F.col("emb").alias("ve"), "cell")
+        .join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", _cos(F.col("qe"), F.col("ve")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+def hyperplanes(n_planes: int, dim: int = 64) -> np.ndarray:
     """Deterministic random hyperplanes (fixed seed) shared by the UDF and
     the tests."""
     rs = np.random.RandomState(_PLANE_SEED)
-    return rs.randn(N_PLANES, dim).astype(np.float64)
+    return rs.randn(n_planes, dim).astype(np.float64)
+
+
+def planes_for_corpus(n_vectors: int, target_bucket: int = 32) -> int:
+    """Bucket count sized to the corpus: 2^planes ≈ n/target_bucket, so
+    expected bucket occupancy stays ~constant as the corpus grows."""
+    import math
+
+    return max(3, min(24, int(math.log2(max(2, n_vectors / target_bucket)))))
 
 
 @query("ann_lsh_bucketed")  # hyperplane signs not SQL-expressible → rows-only
 def ann_lsh_bucketed(spark, sf_dir):
-    """LSH-bucketed ANN: sign-of-hyperplane-projection bucket id (vectorized
-    numpy UDF), candidates = same-bucket pairs, exact cosine re-rank within
-    bucket. At 10^10 vectors the bucket id is the shuffle key and each
-    bucket is ~corpus/2^planes — bounded candidate sets."""
+    """LSH-bucketed ANN: sign-of-hyperplane-projection bucket id
+    (vectorized numpy UDF) with plane count sized to the corpus; queries
+    MULTI-PROBE their own bucket plus every distance-1 bit flip, exact
+    cosine re-rank inside probed buckets. The bucket id is the shuffle
+    key; candidates per query ≈ (1+planes)·target_bucket regardless of
+    corpus size."""
+    e0 = load(spark, sf_dir, "embeddings")
+    n_planes = planes_for_corpus(e0.count())
 
     @F.pandas_udf(T.IntegerType())
     def bucket_udf(embs: pd.Series) -> pd.Series:
-        planes = hyperplanes()
+        planes = hyperplanes(n_planes)
         mat = np.stack(embs.map(np.asarray).values).astype(np.float64)
-        bits = (mat @ planes.T) > 0  # (n, N_PLANES)
-        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+        bits = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series((bits @ weights).astype(np.int32))
 
     e = (
-        load(spark, sf_dir, "embeddings")
-        .withColumn("emb", F.transform("embedding", lambda x: x.cast("double")))
+        e0.withColumn("emb", F.transform("embedding", lambda x: x.cast("double")))
         .withColumn("bucket", bucket_udf("embedding"))
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.col("bucket").alias("qb"),
+    # multi-probe: own bucket + all single-bit flips
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("int")
+            for i in range(n_planes)
+        ],
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("qb", F.explode(probes))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), "qb"
+        )
     )
     v = e.select("vec_id", F.col("emb").alias("ve"), "bucket")
     scored = (

@@ -63,6 +63,30 @@ def test_ann_broadcasts_query_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_variants_against_bruteforce(spark, sf_dir):
+    """IVF and LSH results must be subsets of valid neighbors with exact
+    cosines, deterministic, and overlap the exact top-k meaningfully."""
+    exact = {
+        (r["query_id"], r["neighbor"]): r["cos_sim"]
+        for r in QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    for variant in ("ann_ivf", "ann_lsh_bucketed"):
+        rows = QUERIES[variant](spark, sf_dir).collect()
+        got = {(r["query_id"], r["neighbor"]): r["cos_sim"] for r in rows}
+        # deterministic across runs
+        again = {
+            (r["query_id"], r["neighbor"]): r["cos_sim"]
+            for r in QUERIES[variant](spark, sf_dir).collect()
+        }
+        assert got == again, variant
+        # any pair also present in exact top-k must carry the same cosine
+        for k in set(got) & set(exact):
+            assert abs(got[k] - exact[k]) < 1e-6, (variant, k)
+        # nontrivial recall of the exact top-k
+        recall = len(set(got) & set(exact)) / len(exact)
+        assert recall >= 0.15, (variant, recall)
+
+
 def test_murmur_fingerprint_parity(spark, sf_dir):
     """t7's JVM hash() equals pure-Python murmur3_32 on real document text."""
     from spider_spark.urlnorm import murmur3_32
