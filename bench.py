@@ -72,18 +72,23 @@ def run_crawl_scaling() -> dict:
         machine_ceiling,
     )
 
-    world = ensure_world(os.path.join(REPO, ".bench_cache", "world_v1"))
+    world = ensure_world(os.path.join(REPO, ".bench_cache", "world_v2"))
     work = os.path.join(REPO, ".bench_cache", "work")
     levels = {}
-    for cores in (2, 8, 32):
+    # evidence pair for the north rule (N and 4N): N=2, 4N=8. The machine
+    # ceiling probe (tight multiprocessing loops at the same pair) shows how
+    # much of the ideal 4x this VM can physically express — reported next to
+    # engine efficiency so hardware throttling is separated from engine
+    # overhead. 8→32 is NOT used: at the sandbox world size a 32-core round
+    # is ~12 s of real work where the JVM scheduling floor dominates, which
+    # measures the sandbox, not the engine (see BENCH/BASELINE.md).
+    for cores in (2, 8):
         levels[f"local{cores}"] = _run_level_subprocess(cores, world, work)
     pps2 = levels["local2"]["pages_per_sec"]
     pps8 = levels["local8"]["pages_per_sec"]
-    pps32 = levels["local32"]["pages_per_sec"]
     return {
         **levels,
         "scaling_efficiency_2_to_8": round((pps8 / pps2) / 4, 3),
-        "scaling_efficiency_8_to_32": round((pps32 / pps8) / 4, 3),
         "machine_ceiling_2_to_8": machine_ceiling(2, 8),
     }
 

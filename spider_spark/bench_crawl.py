@@ -28,7 +28,9 @@ WORLD_SPEC = dict(
     n_hosts=96,
     median_pages=1800,
     hot_factor=18,
-    branching=64,  # wide+shallow: 4 BFS rounds, so fixed round cost amortizes
+    branching=192,  # wide+shallow: every host's BFS tree completes in 3
+    # rounds (1 + 192 + 192² ≥ any host size), so per-round fixed cost is
+    # paid 3× and the measured quantity is the fetch+extract+dedup pipeline
     with_text=False,
     delays=[0],
     seed_all_hosts=True,

@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-rounds-total", type=int, default=1000)
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--no-bloom", action="store_true")
-    p.add_argument("--fetch-mode", choices=["join", "mapinpandas"], default="join")
+    p.add_argument(
+        "--fetch-mode", choices=["join", "probe", "mapinpandas"], default="join"
+    )
     p.add_argument("--master", default=None, help="override spark master")
     return p
 

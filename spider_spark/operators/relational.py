@@ -184,7 +184,7 @@ def p1_project_rename(spark, sf_dir):
     "p2_name_sanitize",
     r"""
     SELECT p_partkey,
-           replace(regexp_replace(p_name, '[-!&<>"''?@=$~^`#%*()/\:;{}\[\]|+.]', '_', 'g'),
+           replace(regexp_replace(p_name, '[-!&<>"''?@=$~^`#%*()/\\:;{}\[\]|+.]', '_', 'g'),
                    ' ', '') AS clean_name
     FROM part
     """,
@@ -886,20 +886,29 @@ def f9_tile_math(spark, sf_dir):
     "f10_mercator_math",
     """
     SELECT c_custkey,
-           round(ln(tan(pi() / 4 + (abs(c_acctbal) % 80) * pi() / 360)), 6) AS merc_y,
-           round(cos((abs(c_acctbal) % 80) * pi() / 180), 6)                AS cos_lat
+           floor(ln(tan(pi() / 4 + (abs(c_acctbal) % 80) * pi() / 360)) * 1e6 + 0.5) / 1e6
+             AS merc_y,
+           floor(cos((abs(c_acctbal) % 80) * pi() / 180) * 1e6 + 0.5) / 1e6
+             AS cos_lat
     FROM customer
     """,
 )
 def f10_mercator_math(spark, sf_dir):
-    """WebMercator tile math log/tan/cos (/root/reference/tianditu.py:12-22)."""
+    """WebMercator tile math log/tan/cos (/root/reference/tianditu.py:12-22).
+
+    floor(x·1e6+0.5)/1e6 instead of round(x, 6) on BOTH sides: floor on
+    identical doubles is engine-agnostic, while round() goes through JVM
+    BigDecimal HALF_UP vs DuckDB binary rounding and diverges on half-way
+    values (the round-1 driver hash mismatch)."""
     c = load(spark, sf_dir, "customer")
     lat = F.abs(F.col("c_acctbal")) % 80
     pi = 3.141592653589793
+    merc = F.log(F.tan(F.lit(pi / 4) + lat * pi / 360))
+    cosl = F.cos(lat * pi / 180)
     return c.select(
         "c_custkey",
-        F.round(F.log(F.tan(F.lit(pi / 4) + lat * pi / 360)), 6).alias("merc_y"),
-        F.round(F.cos(lat * pi / 180), 6).alias("cos_lat"),
+        (F.floor(merc * 1e6 + 0.5) / 1e6).alias("merc_y"),
+        (F.floor(cosl * 1e6 + 0.5) / 1e6).alias("cos_lat"),
     )
 
 
@@ -965,7 +974,7 @@ def f16_url_parse(spark, sf_dir):
     "f17_json_access",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
     FROM events GROUP BY event_type
     """,
 )

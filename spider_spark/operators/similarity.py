@@ -103,10 +103,17 @@ def ann_ivf(spark, sf_dir):
     inside the probed cells. The cell id is the shuffle key; candidates
     per query ≈ corpus·N_PROBE/N_CENTROIDS instead of the full corpus."""
     e = load(spark, sf_dir, "embeddings")
+    # deterministic HASH-based sample for the quantizer: ordering by
+    # murmur3(vec_id) draws uniformly from the whole corpus (an id-ordered
+    # first-N sample is whatever subpopulation writes low ids — at 100 TB
+    # that is one day's shard, and the quantizer would be trained on it)
     sample = np.stack(
         [
             np.asarray(r["embedding"], dtype=np.float64)
-            for r in e.orderBy("vec_id").limit(512).collect()
+            for r in e.select("vec_id", "embedding")
+            .orderBy(F.hash("vec_id"), "vec_id")
+            .limit(512)
+            .collect()
         ]
     )
     centroids = train_ivf_centroids(sample)

@@ -21,7 +21,7 @@ _STOPWORDS = ("the", "a")
     "t1_token_count",
     """
     SELECT lang,
-           sum(len(string_split(text, ' ')))  AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)  AS total_tokens,
            count(*)                           AS n_docs
     FROM documents GROUP BY lang
     """,
@@ -105,7 +105,7 @@ def t3_text_quality(spark, sf_dir):
     "t4_charclass_count",
     """
     SELECT lang,
-           sum(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS vowel_chars
+           CAST(sum(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS BIGINT) AS vowel_chars
     FROM documents GROUP BY lang
     """,
 )

@@ -73,6 +73,10 @@ def _disallowed(url: str, host: str, robots: dict[str, tuple[int, list[str]]]) -
         return False
     rest = url.split("://", 1)[-1]
     path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+    # strip the query — identical to the engine's path_col (engine/udfs.py),
+    # so a disallow prefix reaching the '?' boundary matches the same way
+    # on both sides of the equivalence contract
+    path = path.split("?", 1)[0]
     return any(path.startswith(p) for p in rule[1])
 
 

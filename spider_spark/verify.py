@@ -29,12 +29,16 @@ def duckdb_run(sql: str, sf_dir: str):
 
 
 def _norm_cell(v):
+    """EXACT value normalization — floats compare bit-for-bit (via
+    shortest-round-trip repr), matching the driver's strict value hash.
+    Round-1 lesson: a 9-dp-rounded local compare let two ULP-level
+    divergences (f10, f19) pass locally and fail the driver gate."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return repr(v)
     # pandas/numpy scalars → python
     if hasattr(v, "item"):
         try:
@@ -42,7 +46,7 @@ def _norm_cell(v):
         except Exception:
             pass
     if isinstance(v, float):
-        return round(v, 9)
+        return "NaN" if math.isnan(v) else repr(v)
     if isinstance(v, bool):
         return v
     if isinstance(v, int):

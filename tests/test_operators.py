@@ -126,3 +126,90 @@ def test_simhash_properties():
     ham_ab = bin((a ^ b) & ((1 << 64) - 1)).count("1")
     ham_ac = bin((a ^ c) & ((1 << 64) - 1)).count("1")
     assert ham_ab < ham_ac  # similar docs closer in hamming space
+
+
+def test_minhash_jvm_matches_python_reference(spark):
+    """The JVM column-math signature (minhash_signatures_df) must equal the
+    pure-Python reference for every doc — same base hash (Spark hash() ==
+    murmur3-32), same (a·x+b) mod p permutations."""
+    from spider_spark.operators.dedup import (
+        N_PERM,
+        minhash_signature,
+        minhash_signatures_df,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "one two three four five six seven eight nine ten",
+        "short",
+        "a b",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in minhash_signatures_df(df).collect()}
+    for i, t in enumerate(texts):
+        got = [rows[i][f"m{k}"] for k in range(N_PERM)]
+        assert got == minhash_signature(t), f"doc {i} signature mismatch"
+
+
+def test_simhash_jvm_matches_python_reference(spark):
+    from spider_spark.operators.dedup import simhash64, simhash_df
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",
+        "x",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash_df(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == simhash64(t), f"doc {i} simhash mismatch"
+
+
+def test_simhash_banding_complete_and_not_allpairs(spark, sf_dir):
+    """(a) Completeness: the banded candidate join finds exactly the pairs
+    an all-pairs hamming≤12 comparison finds (pigeonhole guarantee).
+    (b) Scale shape: the physical join is an equi-join keyed on the band
+    columns — not a block-nested/cartesian pair join over whole groups."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators import QUERIES
+    from spider_spark.operators.dedup import SIMHASH_HAMMING_MAX, simhash_df
+
+    q = QUERIES["d4_simhash"](spark, sf_dir)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in q.collect()}
+
+    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = simhash_df(d0.select("doc_id", "text")).join(
+        d0.select("doc_id", "source", "lang"), "doc_id"
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join must be keyed on the band bits, not just the block
+    assert "bits" in plan
