@@ -70,6 +70,7 @@ def run_crawl_scaling() -> dict:
         _run_level_subprocess,
         ensure_world,
         machine_ceiling,
+        wait_for_quiet_host,
     )
 
     world = ensure_world(os.path.join(REPO, ".bench_cache", "world_v2"))
@@ -82,13 +83,27 @@ def run_crawl_scaling() -> dict:
     # overhead. 8→32 is NOT used: at the sandbox world size a 32-core round
     # is ~12 s of real work where the JVM scheduling floor dominates, which
     # measures the sandbox, not the engine (see BENCH/BASELINE.md).
-    for cores in (2, 8):
-        levels[f"local{cores}"] = _run_level_subprocess(cores, world, work)
+    # best-of-2 per level, ABBA order: shared-VM CPU availability drifts on
+    # the minute scale (observed ±30% on identical runs), so a single
+    # sample per level measures the host's mood, not the engine. Min
+    # wall-clock per level is the standard noise-rejecting estimator; both
+    # raw samples are recorded for transparency.
+    preflight = wait_for_quiet_host(2, 8)
+    samples: dict[int, list[dict]] = {2: [], 8: []}
+    for cores in (2, 8, 8, 2):
+        samples[cores].append(_run_level_subprocess(cores, world, work))
+    for cores, runs in samples.items():
+        best = min(runs, key=lambda r: r["elapsed_sec"])
+        levels[f"local{cores}"] = {
+            **best,
+            "all_elapsed_sec": [r["elapsed_sec"] for r in runs],
+        }
     pps2 = levels["local2"]["pages_per_sec"]
     pps8 = levels["local8"]["pages_per_sec"]
     return {
         **levels,
         "scaling_efficiency_2_to_8": round((pps8 / pps2) / 4, 3),
+        "machine_ceiling_preflight": preflight,
         "machine_ceiling_2_to_8": machine_ceiling(2, 8),
     }
 
@@ -101,9 +116,12 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    qtimes = run_headline(sf_dir, cpus)
     skip_crawl = os.environ.get("SPARK_GRAFT_SKIP_CRAWL_BENCH") == "1"
+    # crawl scaling first: the 32-core headline burst can trigger shared-VM
+    # throttling that persists for minutes and would corrupt the 8-core
+    # crawl samples
     crawl = {} if skip_crawl else run_crawl_scaling()
+    qtimes = run_headline(sf_dir, cpus)
 
     out = {
         "metric": "headline query suite wall time (crawl scaling in 'crawl')",

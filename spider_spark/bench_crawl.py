@@ -26,11 +26,12 @@ BENCH_POLICY = CrawlPolicy(
 
 WORLD_SPEC = dict(
     n_hosts=96,
-    median_pages=1800,
+    median_pages=2400,
     hot_factor=18,
-    branching=192,  # wide+shallow: every host's BFS tree completes in 3
-    # rounds (1 + 192 + 192² ≥ any host size), so per-round fixed cost is
-    # paid 3× and the measured quantity is the fetch+extract+dedup pipeline
+    branching=224,  # wide+shallow: every host's BFS tree completes in 3
+    # rounds (1 + 224 + 224² ≥ any host size incl. the 43k-page hot host),
+    # so per-round fixed cost is paid 3× and the measured quantity is the
+    # fetch+extract+dedup pipeline
     with_text=False,
     delays=[0],
     seed_all_hosts=True,
@@ -133,6 +134,29 @@ def scaling_bench(world_dir: str, work_dir: str, n_small: int = 8, n_big: int = 
         f"local{n_big}": big,
         "scaling_efficiency": round(eff, 3),
     }
+
+
+def wait_for_quiet_host(
+    n_small: int = 2, n_big: int = 8, target: float = 0.9,
+    max_tries: int = 6, wait_s: float = 60.0,
+) -> dict:
+    """Pre-flight gate: probe the machine ceiling and, if the host cannot
+    currently express ~4x between the two levels (shared-VM neighbor
+    load/throttling — observed ceiling as low as 0.75 for whole
+    multi-minute windows), wait and re-probe up to ``max_tries`` times.
+    Proceeds regardless after the budget and returns the last probe, which
+    is recorded next to the engine efficiency so a throttled window is
+    visible in the artifact."""
+    import time as _t
+
+    probe = machine_ceiling(n_small, n_big)
+    tries = 1
+    while probe["ceiling_efficiency"] < target and tries < max_tries:
+        _t.sleep(wait_s)
+        probe = machine_ceiling(n_small, n_big)
+        tries += 1
+    probe["preflight_tries"] = tries
+    return probe
 
 
 def machine_ceiling(n_small: int = 2, n_big: int = 8) -> dict:

@@ -239,20 +239,34 @@ class CrawlEngine:
                 F.lit(0).alias("retries"),
             )
         )
-        pending.repartition(self.n_partitions, "host_hash").write.mode(
-            "overwrite"
-        ).parquet(self._path("state", 0))
+        flagged.count()  # materialize the canonicalize+robots pipeline once
         seen_delta = flagged.select(
             "url",
             F.when(F.col("blocked"), F.lit("blocked"))
             .otherwise(F.lit("frontier"))
             .alias("disposition"),
         )
-        seen_delta.write.mode("overwrite").parquet(self._path("seen_delta", 0))
+        # independent writes off the cache → concurrent jobs (same pattern
+        # as the round tail)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: pending.repartition(self.n_partitions, "host_hash")
+            .write.mode("overwrite")
+            .parquet(self._path("state", 0)),
+            lambda: seen_delta.write.mode("overwrite").parquet(
+                self._path("seen_delta", 0)
+            ),
+        ]
         if self.use_bloom:
-            seen_mod.build_blobs(
-                seen_delta.select("url"), self.n_partitions
-            ).write.mode("overwrite").parquet(self._path("seen_blob", 0))
+            writes.append(
+                lambda: seen_mod.build_blobs(
+                    seen_delta.select("url"), self.n_partitions
+                ).write.mode("overwrite").parquet(self._path("seen_blob", 0))
+            )
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+            for fut in [ex.submit(w) for w in writes]:
+                fut.result()
         n_pending = parquet_rowcount(self._path("state", 0))
         # seed-scale table: count blocked from the written file driver-side
         # rather than spending another Spark job

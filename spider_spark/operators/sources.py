@@ -173,3 +173,134 @@ def write_binary_tiles(df: DataFrame, path: str) -> None:
     """S14 — PNG-tile-per-key sink (/root/reference/suplicmap_tilemap.py:136-145):
     binary column + (level,row) partitioned layout replaces one-file-per-tile."""
     df.write.mode("overwrite").partitionBy("level", "row").parquet(path)
+
+
+def mosaic_placement(
+    min_col: int,
+    max_col: int,
+    min_row: int,
+    max_row: int,
+    bounds: tuple[float, float, float, float],
+    origin: tuple[float, float],
+    resolution: float,
+    tilesize: int = 256,
+) -> dict:
+    """S15 — pure placement + 4-GCP georeference math of the GTiff mosaic
+    (/root/reference/merge_tiles.py:66-129), GDAL-free so it is unit-testable
+    in this container.
+
+    ``bounds`` = (minX, minY, maxX, maxY) of the target extent; ``origin`` =
+    (originX, originY) of the tile scheme. Returns canvas size, a
+    (row, col) → (px, py) pixel-offset function, and the four ground
+    control points as ((geoX, geoY), (pixel, line)) pairs — exactly the
+    reference's WriteRaster offsets and gdal.GCP list."""
+    import math
+
+    min_x, min_y, max_x, max_y = bounds
+    origin_x, origin_y = origin
+    tilewidth = max_col - min_col + 1
+    tileheight = max_row - min_row + 1
+    span = resolution * tilesize
+
+    def offset(row: int, col: int) -> tuple[int, int]:
+        # merge_tiles.py:87-92: ((col-min_col)·tilesize, (row-min_row)·tilesize)
+        return (col - min_col) * tilesize, (row - min_row) * tilesize
+
+    gcp_x0 = math.floor(((min_x - origin_x) - min_col * span) / resolution)
+    gcp_y0 = math.floor(((origin_y - max_y) - min_row * span) / resolution)
+    gcp_x1 = tilewidth * tilesize - (
+        tilesize - math.floor(((max_x - origin_x) - max_col * span) / resolution)
+    )
+    gcp_y1 = tileheight * tilesize - (
+        tilesize - math.floor(((origin_y - min_y) - max_row * span) / resolution)
+    )
+    gcps = [
+        ((min_x, max_y), (gcp_x0, gcp_y0)),
+        ((max_x, max_y), (gcp_x1, gcp_y0)),
+        ((min_x, min_y), (gcp_x0, gcp_y1)),
+        ((max_x, min_y), (gcp_x1, gcp_y1)),
+    ]
+    return {
+        "width_px": tilewidth * tilesize,
+        "height_px": tileheight * tilesize,
+        "offset": offset,
+        "gcps": gcps,
+    }
+
+
+def write_gtiff_mosaic(
+    spark: SparkSession,
+    tiles_path: str,
+    out_path: str,
+    bounds: tuple[float, float, float, float],
+    origin: tuple[float, float],
+    resolution: float,
+    tilesize: int = 256,
+) -> None:
+    """S15 — GTiff mosaic sink over ``write_binary_tiles`` output
+    (/root/reference/merge_tiles.py:66-129: WriteRaster placement, 4-GCP
+    gdal.Translate, LZW BIGTIFF, nearest overviews 2..14).
+
+    A mosaic is a single shared canvas, so this is the one deliberately
+    driver-side post-step (the reference walks a folder; we stream the
+    partitioned tile parquet). All the arithmetic lives in
+    ``mosaic_placement`` (tested without GDAL); the raster I/O is gated
+    behind an import-try because GDAL does not ship in this container."""
+    try:
+        from osgeo import gdal  # noqa: F401
+    except ImportError as e:  # pragma: no cover - container lacks GDAL
+        raise NotImplementedError(
+            "GTiff mosaic needs GDAL (osgeo). Wiring when present: read "
+            f"{tiles_path} (cols level,row,col,png:binary) with "
+            "toLocalIterator(), decode each PNG via gdal/PIL, compute "
+            "offsets from mosaic_placement()['offset'], WriteRaster per "
+            "band, then gdal.Translate with the GCP list and "
+            "BuildOverviews('nearest', range(2, 16, 2))"
+        ) from e
+
+    import pyarrow.dataset as pa_ds  # pragma: no cover - needs GDAL to reach
+
+    place = mosaic_placement(
+        *_tile_extent(spark, tiles_path), bounds, origin, resolution, tilesize
+    )
+    drv = gdal.GetDriverByName("GTiff")
+    ds = drv.Create(out_path + ".tmp", place["width_px"], place["height_px"], 3,
+                    gdal.GDT_Int16)
+    for batch in pa_ds.dataset(tiles_path, format="parquet").to_batches():
+        for row, col, png in zip(
+            batch.column("row").to_pylist(),
+            batch.column("col").to_pylist(),
+            batch.column("png").to_pylist(),
+        ):
+            px, py = place["offset"](row, col)
+            tile = gdal.Open("/vsimem/t.png")  # via gdal.FileFromMemBuffer(png)
+            for b in (1, 2, 3):
+                ds.GetRasterBand(b).WriteRaster(
+                    px, py, tilesize, tilesize,
+                    tile.GetRasterBand(b).ReadRaster(0, 0, tilesize, tilesize),
+                )
+    gcps = [gdal.GCP(gx, gy, 0, px, py) for (gx, gy), (px, py) in place["gcps"]]
+    gdal.Translate(
+        out_path, ds,
+        options=gdal.TranslateOptions(
+            format="GTiff", creationOptions=["BIGTIFF=YES", "COMPRESS=LZW"],
+            GCPs=gcps,
+        ),
+    )
+    out = gdal.OpenEx(out_path, gdal.OF_RASTER | gdal.OF_READONLY)
+    out.BuildOverviews("nearest", list(range(2, 16, 2)))
+
+
+def _tile_extent(spark: SparkSession, tiles_path: str):
+    """min/max (col, row) of a binary-tile table — one metadata-cheap agg."""
+    from pyspark.sql import functions as F
+
+    r = (
+        spark.read.parquet(tiles_path)
+        .agg(
+            F.min("col").alias("c0"), F.max("col").alias("c1"),
+            F.min("row").alias("r0"), F.max("row").alias("r1"),
+        )
+        .first()
+    )
+    return int(r["c0"]), int(r["c1"]), int(r["r0"]), int(r["r1"])

@@ -153,3 +153,12 @@ def test_mapinpandas_fetch_mode_identical(spark, world_dir, tmp_path, oracle_res
         spark, world_dir, str(tmp_path / "ckpt_mp"), fetch_mode="mapinpandas"
     )
     _assert_match(eng, oracle_result, world_dir, spark)
+
+
+def test_probe_fetch_mode_identical(spark, world_dir, tmp_path, oracle_result):
+    """The broadcast-probe fetch path (for page stores too large to keep
+    partitioned-cached) must equal the co-partitioned join path."""
+    eng = _run_engine(
+        spark, world_dir, str(tmp_path / "ckpt_pr"), fetch_mode="probe"
+    )
+    _assert_match(eng, oracle_result, world_dir, spark)

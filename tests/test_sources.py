@@ -129,3 +129,60 @@ def test_binary_tile_layout(spark, tmp_path):
     assert back.count() == 4
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_mosaic_placement_math():
+    """S15 placement/GCP arithmetic vs hand-computed values from the
+    reference's formulas (/root/reference/merge_tiles.py:87-92,100-109)."""
+    from spider_spark.operators.sources import mosaic_placement
+
+    # tile scheme: origin (0, 1000), resolution 0.5 → tile span 128 units;
+    # tiles cols 12..15, rows 5..9; extent inset inside the tile grid
+    place = mosaic_placement(
+        min_col=12, max_col=15, min_row=5, max_row=9,
+        bounds=(1540.0, -275.0, 2040.0, 355.0),
+        origin=(0.0, 1000.0),
+        resolution=0.5,
+        tilesize=256,
+    )
+    assert place["width_px"] == 4 * 256
+    assert place["height_px"] == 5 * 256
+    assert place["offset"](5, 12) == (0, 0)
+    assert place["offset"](7, 14) == (512, 512)
+    assert place["offset"](9, 15) == (768, 1024)
+
+    import math
+    span = 0.5 * 256
+    x0 = math.floor(((1540.0 - 0.0) - 12 * span) / 0.5)
+    y0 = math.floor(((1000.0 - 355.0) - 5 * span) / 0.5)
+    x1 = 4 * 256 - (256 - math.floor(((2040.0 - 0.0) - 15 * span) / 0.5))
+    y1 = 5 * 256 - (256 - math.floor(((1000.0 - (-275.0)) - 9 * span) / 0.5))
+    assert place["gcps"] == [
+        ((1540.0, 355.0), (x0, y0)),
+        ((2040.0, 355.0), (x1, y0)),
+        ((1540.0, -275.0), (x0, y1)),
+        ((2040.0, -275.0), (x1, y1)),
+    ]
+    # corners must be inside the canvas and ordered
+    assert 0 <= x0 < x1 <= 4 * 256
+    assert 0 <= y0 < y1 <= 5 * 256
+
+
+def test_gtiff_mosaic_gated():
+    """Without GDAL the sink raises NotImplementedError documenting the
+    wiring (import gate, same pattern as the XLS source)."""
+    import pytest
+
+    from spider_spark.operators.sources import write_gtiff_mosaic
+
+    try:
+        import osgeo  # noqa: F401
+
+        pytest.skip("GDAL present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="GDAL"):
+        write_gtiff_mosaic(
+            None, "/tmp/never", "/tmp/never.tif",
+            (0.0, 0.0, 1.0, 1.0), (0.0, 0.0), 0.5,
+        )
