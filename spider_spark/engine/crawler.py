@@ -132,6 +132,7 @@ class CrawlEngine:
         checkpoint_dir: str,
         policy: CrawlPolicy = CrawlPolicy(),
         n_partitions: int = 8,
+        bloom_partitions: int = 64,
         use_bloom: bool = True,
         fetch_mode: str = "join",  # "join" | "probe" | "mapinpandas"
         bench_mode: bool = False,
@@ -158,6 +159,13 @@ class CrawlEngine:
         self.ckpt = checkpoint_dir
         self.policy = policy
         self.n_partitions = n_partitions
+        # bloom blob keying must be STABLE across resumes even if the
+        # engine is restarted with a different n_partitions — a blob built
+        # under one key mod and probed under another would let the
+        # pre-screen claim a seen URL is "definitely new" and skip the
+        # exact confirm. The round-0 commit records the value; resume
+        # overrides the constructor arg with the recorded one.
+        self.bloom_partitions = bloom_partitions
         self.use_bloom = use_bloom
         self.fetch_mode = fetch_mode
         os.makedirs(os.path.join(self.ckpt, "commits"), exist_ok=True)
@@ -261,7 +269,7 @@ class CrawlEngine:
         if self.use_bloom:
             writes.append(
                 lambda: seen_mod.build_blobs(
-                    seen_delta.select("url"), self.n_partitions
+                    seen_delta.select("url"), self.bloom_partitions
                 ).write.mode("overwrite").parquet(self._path("seen_blob", 0))
             )
         with ThreadPoolExecutor(max_workers=len(writes)) as ex:
@@ -280,7 +288,13 @@ class CrawlEngine:
             .count("blocked")
         )
         flagged.unpersist()
-        meta = {"round": 0, "next_seq": 0, "pending": n_pending, "blocked": n_blocked}
+        meta = {
+            "round": 0,
+            "next_seq": 0,
+            "pending": n_pending,
+            "blocked": n_blocked,
+            "bloom_partitions": self.bloom_partitions,
+        }
         self._commit(0, meta)
         return meta
 
@@ -419,7 +433,8 @@ class CrawlEngine:
             self._read_delta_table("seen_blob", r - 1) if self.use_bloom else None
         )
         new_urls = seen_mod.dedup_new_urls(
-            links, seen_all, blobs_df=blobs_df, n_partitions=self.n_partitions
+            links, seen_all, blobs_df=blobs_df,
+            n_partitions=self.bloom_partitions,
         ).withColumn("host", host_col("url"))
         new_flagged = with_robots(new_urls, self.robots, self.policy).persist()
         new_frontier = new_flagged.filter(~F.col("blocked")).select(
@@ -477,7 +492,7 @@ class CrawlEngine:
         }
         if self.use_bloom:
             writes["seen_blob"] = lambda: seen_mod.build_blobs(
-                seen_delta.select("url"), self.n_partitions
+                seen_delta.select("url"), self.bloom_partitions
             ).write.mode("overwrite").parquet(self._path("seen_blob", r))
         if not self.bench_mode:
             dead_rows = miss.filter(
@@ -644,6 +659,10 @@ class CrawlEngine:
             last = 0
         else:
             meta = self._read_commit(last)
+            if os.path.isfile(self._marker(0)):
+                recorded = self._read_commit(0).get("bloom_partitions")
+                if recorded:
+                    self.bloom_partitions = recorded
         budget = max_rounds if max_rounds is not None else self.policy.max_rounds
         r = last + 1
         executed = 0

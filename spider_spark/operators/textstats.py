@@ -120,23 +120,63 @@ def t4_charclass_count(spark, sf_dir):
     )
 
 
+ROLL_MOD = (1 << 61) - 1  # Mersenne 2^61-1
+ROLL_BASE = 131
+
+
+def rolling_fingerprint(s: str) -> int:
+    """Pure-Python reference of the t5 fingerprint (parity-tested against
+    the vectorized batch kernel): Horner h = (h·131 + ord(ch)) mod 2^61-1,
+    shifted into signed int64."""
+    h = 0
+    for ch in s:
+        h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+    return h - (ROLL_MOD if h > (ROLL_MOD >> 1) else 0)
+
+
+def rolling_fingerprint_batch(texts) -> "np.ndarray":
+    """Vectorized-across-documents Horner: one numpy pass per character
+    POSITION (not per character) — positions iterate python-side, every
+    step updates the whole batch column at once. The h·131 step would
+    overflow uint64 (h < 2^61, ×131 → 2^68), so it is computed with a
+    Mersenne split: h = a·2^30 + b ⇒ h·131 ≡ mul30(131·a) + 131·b, where
+    mul30(x < 2^38) = (x>>31) + ((x & (2^31-1)) << 30) mod p uses
+    2^61 ≡ 1 (mod p). All intermediates stay < 2^62."""
+    import numpy as np
+
+    p = np.uint64(ROLL_MOD)
+    mask30 = np.uint64((1 << 30) - 1)
+    mask31 = np.uint64((1 << 31) - 1)
+    codes = [
+        np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts
+    ]
+    lens = np.array([len(c) for c in codes], dtype=np.int64)
+    n, max_len = len(codes), int(lens.max()) if len(codes) else 0
+    mat = np.zeros((n, max_len), dtype=np.uint64)
+    for i, c in enumerate(codes):
+        mat[i, : len(c)] = c
+    h = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(ROLL_BASE)
+    for pos in range(max_len):
+        a = h >> np.uint64(30)
+        b = h & mask30
+        x = base * a  # < 2^38
+        t1 = ((x >> np.uint64(31)) + ((x & mask31) << np.uint64(30))) % p
+        h_new = (t1 + base * b + mat[:, pos]) % p
+        h = np.where(pos < lens, h_new, h)
+    out = h.astype(np.int64)
+    return np.where(h > (ROLL_MOD >> 1), out - np.int64(ROLL_MOD), out)
+
+
 @query("t5_doc_fingerprint")  # rolling hash — not SQL-expressible, rows-only
 def t5_doc_fingerprint(spark, sf_dir):
     """Polynomial rolling-hash document fingerprint (mod 2^61-1) as a
-    vectorized pandas UDF — the cheap shift-resistant content signature."""
+    batch-vectorized pandas UDF (numpy per character position across the
+    whole Arrow batch — no per-character Python loop in the hot path)."""
 
     @F.pandas_udf(T.LongType())
     def fingerprint(texts: pd.Series) -> pd.Series:
-        MOD = (1 << 61) - 1
-        BASE = 131
-
-        def fp(s: str) -> int:
-            h = 0
-            for ch in s:
-                h = (h * BASE + ord(ch)) % MOD
-            return h - (MOD if h > (MOD >> 1) else 0)  # keep in int64
-
-        return texts.map(fp)
+        return pd.Series(rolling_fingerprint_batch(list(texts)))
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fingerprint"))

@@ -162,3 +162,36 @@ def test_probe_fetch_mode_identical(spark, world_dir, tmp_path, oracle_result):
         spark, world_dir, str(tmp_path / "ckpt_pr"), fetch_mode="probe"
     )
     _assert_match(eng, oracle_result, world_dir, spark)
+
+
+def test_resume_with_different_partitions_identical(
+    spark, world_dir, tmp_path, oracle_result
+):
+    """Restarting with a different n_partitions must not change anything —
+    in particular the bloom pre-screen must keep probing the blobs under
+    the ORIGINAL keying (recorded in the round-0 commit), or a seen URL
+    would skip the exact confirm and be crawled twice."""
+    from spider_spark.engine import CrawlEngine
+
+    ckpt = str(tmp_path / "ckpt_np")
+
+    def mk(n_parts):
+        return CrawlEngine(
+            spark,
+            pages_path=os.path.join(world_dir, "pages.parquet"),
+            robots_path=os.path.join(world_dir, "robots.parquet"),
+            checkpoint_dir=ckpt,
+            policy=POLICY,
+            n_partitions=n_parts,
+            bloom_partitions=4,
+        )
+
+    eng = mk(4)
+    seeds = spark.read.parquet(os.path.join(world_dir, "seeds.parquet"))
+    eng.run(seeds=seeds, max_rounds=2)
+
+    eng2 = mk(8)  # different engine AND (attempted) different bloom keying
+    eng2.bloom_partitions = 16  # would mis-key probes if not overridden
+    eng2.run()
+    assert eng2.bloom_partitions == 4  # adopted from the round-0 commit
+    _assert_match(eng2, oracle_result, world_dir, spark)

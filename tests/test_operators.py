@@ -213,3 +213,24 @@ def test_simhash_banding_complete_and_not_allpairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the candidate join must be keyed on the band bits, not just the block
     assert "bits" in plan
+
+
+def test_rolling_fingerprint_batch_matches_reference():
+    """t5's vectorized Mersenne-split Horner must equal the per-char
+    reference on varied lengths, unicode, and the empty string."""
+    from spider_spark.operators.textstats import (
+        rolling_fingerprint,
+        rolling_fingerprint_batch,
+    )
+
+    texts = [
+        "",
+        "a",
+        "hello world",
+        "数据页 第 页 — unicode 行",
+        "x" * 500,
+        " ".join(str(i) for i in range(200)),
+    ]
+    got = rolling_fingerprint_batch(texts)
+    for t, g in zip(texts, got):
+        assert int(g) == rolling_fingerprint(t), repr(t[:30])
