@@ -542,3 +542,100 @@ def d5_embedding_neardup(spark, sf_dir):
         .filter(cos >= 0.2)
         .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
     )
+
+
+@query(
+    "d7_neardup_clusters",
+    """
+    WITH RECURSIVE tok0 AS (
+      SELECT DISTINCT doc_id, source, lang, tok FROM (
+        SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+    ),
+    df AS (SELECT tok, count(*) AS c FROM tok0 GROUP BY tok),
+    total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    tok AS (
+      SELECT t.doc_id, t.source, t.lang, t.tok
+      FROM tok0 t JOIN df ON df.tok = t.tok CROSS JOIN total
+      WHERE df.c <= greatest(5, 0.5 * total.n)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    jpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM jpairs JOIN sizes sa ON jpairs.id_a = sa.doc_id
+                  JOIN sizes sb ON jpairs.id_b = sb.doc_id
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.82
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster
+    FROM reach GROUP BY u
+    """,
+)
+def d7_neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — the step after pair generation in a real
+    training-data dedup pipeline (keep one doc per duplicate cluster, not
+    per pair): connected components over the d2 near-dup pair graph via
+    min-label propagation — each iteration one join + one min-aggregate,
+    repeated until a fixpoint (≤ component diameter rounds; near-dup
+    components are shallow). cluster = min doc_id in the component. The
+    oracle is a DuckDB recursive-CTE transitive closure over the same
+    pairs. At 10^10 docs the same loop runs with the large-star/small-star
+    optimization (alternate min-label with star contraction) — identical
+    join shape, fewer rounds; the driver only reads a convergence counter
+    per iteration, never data."""
+    pairs = d2_token_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("u", "v")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    for _ in range(50):  # diameter bound; near-dup graphs are shallow
+        neigh = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("cluster").alias("ncluster"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["u"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["cluster"],
+                    F.coalesce(F.col("ncluster"), labels["cluster"]),
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("id", F.col("cluster").alias("old")), "id")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "cluster")

@@ -304,3 +304,24 @@ def _tile_extent(spark: SparkSession, tiles_path: str):
         .first()
     )
     return int(r["c0"]), int(r["c1"]), int(r["r0"]), int(r["r1"])
+
+
+def list_files_by_mtime(
+    spark: SparkSession, directory: str, pattern: str = "*", descending: bool = True
+) -> DataFrame:
+    """O4 — newest-first file listing (/root/reference/log4p.py:60-67: the
+    reference sorts os.listdir by getmtime to pick the active rotated
+    log). The directory stat pass is driver-side metadata — the same
+    class of read as a parquet footer or an Iceberg manifest — and the
+    result is a DataFrame so the sort/selection composes relationally."""
+    import glob as _glob
+    import os as _os
+
+    rows = [
+        (p, float(_os.path.getmtime(p)), int(_os.path.getsize(p)))
+        for p in _glob.glob(_os.path.join(directory, pattern))
+        if _os.path.isfile(p)
+    ]
+    df = spark.createDataFrame(rows, "path string, mtime double, size long")
+    order = F.desc("mtime") if descending else F.asc("mtime")
+    return df.orderBy(order, "path")

@@ -186,3 +186,22 @@ def test_gtiff_mosaic_gated():
             None, "/tmp/never", "/tmp/never.tif",
             (0.0, 0.0, 1.0, 1.0), (0.0, 0.0), 0.5,
         )
+
+
+def test_list_files_by_mtime(spark, tmp_path):
+    """O4: newest-first ordering by mtime, path tiebreak, files only."""
+    import os
+
+    for name, mt in [("a.log", 100), ("b.log", 300), ("c.log", 200)]:
+        p = tmp_path / name
+        p.write_text(name)
+        os.utime(p, (mt, mt))
+    (tmp_path / "sub").mkdir()
+
+    from spider_spark.operators.sources import list_files_by_mtime
+
+    rows = list_files_by_mtime(spark, str(tmp_path), "*").collect()
+    assert [os.path.basename(r["path"]) for r in rows] == ["b.log", "c.log", "a.log"]
+    assert rows[0]["size"] == len("b.log")
+    oldest_first = list_files_by_mtime(spark, str(tmp_path), "*", descending=False)
+    assert os.path.basename(oldest_first.first()["path"]) == "a.log"
