@@ -5,10 +5,13 @@ cluster in the sandbox — see BASELINE.md): run the identical crawl on the
 identical synthetic frontier at N and 4N local cores, report pages
 fetched+deduped/sec at both and efficiency = (pps_4N / pps_N) / 4.
 
-The bench world is wide and shallow (branching 16) with zero crawl delays
-and every host seeded, so the politeness budget never caps a round and the
-measured quantity is the engine's fetch+extract+dedup pipeline, not the
-politeness wait that dominates a real crawl's wall-clock.
+The bench world is wide and shallow (see WORLD_SPEC: branching 224 — every
+host's BFS tree completes in 3 rounds) with zero crawl delays and every
+host seeded, so the politeness budget never caps a round and the measured
+quantity is the engine's fetch+extract+dedup pipeline, not the politeness
+wait that dominates a real crawl's wall-clock. Each timed level is
+preceded by a steady-state warmup; see BENCH/BASELINE.md for the full
+noise-rejection protocol.
 """
 
 from __future__ import annotations

@@ -170,6 +170,12 @@ class CrawlEngine:
         self.fetch_mode = fetch_mode
         os.makedirs(os.path.join(self.ckpt, "commits"), exist_ok=True)
         self._recover_compaction()
+        # adopt the blob keying recorded at round 0 (here, not in run(), so
+        # direct run_round()/compact() callers get it too)
+        if os.path.isfile(self._marker(0)):
+            recorded = self._read_commit(0).get("bloom_partitions")
+            if recorded:
+                self.bloom_partitions = recorded
         # resolve the robots as-of view ONCE and cache the one-row-per-host
         # result: with_robots broadcasts it twice per round, and without
         # this every broadcast re-runs the max_by aggregation shuffle
@@ -663,6 +669,8 @@ class CrawlEngine:
                 recorded = self._read_commit(0).get("bloom_partitions")
                 if recorded:
                     self.bloom_partitions = recorded
+            if self.use_bloom:
+                self._ensure_blob_coverage(last)
         budget = max_rounds if max_rounds is not None else self.policy.max_rounds
         r = last + 1
         executed = 0
@@ -671,6 +679,23 @@ class CrawlEngine:
             executed += 1
             r += 1
         return meta
+
+    def _ensure_blob_coverage(self, last: int) -> None:
+        """Partition-wise probing makes blob COVERAGE correctness-critical:
+        a seen URL absent from its partition's blobs would be declared
+        "definitely new" and skip the exact confirm (duplicate crawl). A
+        committed round can legitimately lack a blob dir — earlier rounds
+        run with use_bloom=False, or a checkpoint from before blobs
+        existed — so on resume, backfill blobs for any such round from its
+        seen_delta (idempotent: blobs are a pure function of the delta)."""
+        for r in range(0, last + 1):
+            if os.path.isdir(self._path("seen_delta", r)) and not os.path.isdir(
+                self._path("seen_blob", r)
+            ):
+                delta = self.spark.read.parquet(self._path("seen_delta", r))
+                seen_mod.build_blobs(
+                    delta.select("url"), self.bloom_partitions
+                ).write.mode("overwrite").parquet(self._path("seen_blob", r))
 
     # ---------- readers for verification ----------
     def results(self) -> DataFrame:
@@ -682,13 +707,18 @@ class CrawlEngine:
         df = self._read_delta_table("results", last)
         if df is None:
             return None
+        # rank ONLY the slim sort-key projection — the text column never
+        # enters the range shuffle or the persisted handle; it joins back
+        # on url (unique) afterwards
+        slim = df.select("round", "priority", "discovery_time", "url")
         with_seq, handle, _end = assign_global_seq(
-            df, ["round", "priority", "discovery_time", "url"], 0, self.n_partitions
+            slim, ["round", "priority", "discovery_time", "url"], 0,
+            self.n_partitions,
         )
         if self._reader_handle is not None:
             self._reader_handle.unpersist()
         self._reader_handle = handle
-        return with_seq.select(
+        return df.join(with_seq.select("url", "seq"), "url").select(
             "url", "seq", "text", "n_links", "fetch_priority", "round"
         )
 

@@ -610,6 +610,7 @@ def d7_neardup_clusters(spark, sf_dir):
         .withColumn("cluster", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(50):  # diameter bound; near-dup graphs are shallow
         neigh = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -636,6 +637,20 @@ def d7_neardup_clusters(spark, sf_dir):
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent partial labels would diverge from the oracle's transitive
+        # closure — fail loudly instead
+        raise RuntimeError(
+            "d7_neardup_clusters: min-label propagation did not converge in "
+            "50 rounds (component diameter > 50) — raise the bound or switch "
+            "to large-star/small-star contraction"
+        )
+    # truncate lineage so the caches can be released before returning
+    out = labels.select(F.col("id").alias("doc_id"), "cluster").localCheckpoint(
+        eager=True
+    )
+    labels.unpersist()
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), "cluster")
+    return out

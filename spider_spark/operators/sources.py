@@ -258,13 +258,16 @@ def write_gtiff_mosaic(
             "BuildOverviews('nearest', range(2, 16, 2))"
         ) from e
 
+    import os as _os  # pragma: no cover - needs GDAL to reach
+
     import pyarrow.dataset as pa_ds  # pragma: no cover - needs GDAL to reach
 
     place = mosaic_placement(
         *_tile_extent(spark, tiles_path), bounds, origin, resolution, tilesize
     )
+    tmp_path = out_path + ".tmp"
     drv = gdal.GetDriverByName("GTiff")
-    ds = drv.Create(out_path + ".tmp", place["width_px"], place["height_px"], 3,
+    ds = drv.Create(tmp_path, place["width_px"], place["height_px"], 3,
                     gdal.GDT_Int16)
     for batch in pa_ds.dataset(tiles_path, format="parquet").to_batches():
         for row, col, png in zip(
@@ -273,12 +276,21 @@ def write_gtiff_mosaic(
             batch.column("png").to_pylist(),
         ):
             px, py = place["offset"](row, col)
-            tile = gdal.Open("/vsimem/t.png")  # via gdal.FileFromMemBuffer(png)
-            for b in (1, 2, 3):
-                ds.GetRasterBand(b).WriteRaster(
-                    px, py, tilesize, tilesize,
-                    tile.GetRasterBand(b).ReadRaster(0, 0, tilesize, tilesize),
-                )
+            mem = f"/vsimem/tile_{row}_{col}.png"
+            gdal.FileFromMemBuffer(mem, bytes(png))
+            tile = gdal.Open(mem)
+            try:
+                for b in (1, 2, 3):
+                    ds.GetRasterBand(b).WriteRaster(
+                        px, py, tilesize, tilesize,
+                        tile.GetRasterBand(b).ReadRaster(
+                            0, 0, tilesize, tilesize
+                        ),
+                    )
+            finally:
+                tile = None
+                gdal.Unlink(mem)
+    ds.FlushCache()
     gcps = [gdal.GCP(gx, gy, 0, px, py) for (gx, gy), (px, py) in place["gcps"]]
     gdal.Translate(
         out_path, ds,
@@ -287,8 +299,11 @@ def write_gtiff_mosaic(
             GCPs=gcps,
         ),
     )
+    ds = None  # close before deleting the temp canvas
+    _os.remove(tmp_path)
     out = gdal.OpenEx(out_path, gdal.OF_RASTER | gdal.OF_READONLY)
     out.BuildOverviews("nearest", list(range(2, 16, 2)))
+    out = None
 
 
 def _tile_extent(spark: SparkSession, tiles_path: str):

@@ -147,25 +147,47 @@ def rolling_fingerprint_batch(texts) -> "np.ndarray":
     p = np.uint64(ROLL_MOD)
     mask30 = np.uint64((1 << 30) - 1)
     mask31 = np.uint64((1 << 31) - 1)
+    base = np.uint64(ROLL_BASE)
     codes = [
         np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts
     ]
-    lens = np.array([len(c) for c in codes], dtype=np.int64)
-    n, max_len = len(codes), int(lens.max()) if len(codes) else 0
-    mat = np.zeros((n, max_len), dtype=np.uint64)
-    for i, c in enumerate(codes):
-        mat[i, : len(c)] = c
-    h = np.zeros(n, dtype=np.uint64)
-    base = np.uint64(ROLL_BASE)
-    for pos in range(max_len):
-        a = h >> np.uint64(30)
-        b = h & mask30
-        x = base * a  # < 2^38
-        t1 = ((x >> np.uint64(31)) + ((x & mask31) << np.uint64(30))) % p
-        h_new = (t1 + base * b + mat[:, pos]) % p
-        h = np.where(pos < lens, h_new, h)
-    out = h.astype(np.int64)
-    return np.where(h > (ROLL_MOD >> 1), out - np.int64(ROLL_MOD), out)
+
+    def _chunk(idx: "np.ndarray") -> "np.ndarray":
+        lens = np.array([len(codes[i]) for i in idx], dtype=np.int64)
+        max_len = int(lens.max()) if len(idx) else 0
+        mat = np.zeros((len(idx), max_len), dtype=np.uint64)
+        for row, i in enumerate(idx):
+            mat[row, : len(codes[i])] = codes[i]
+        h = np.zeros(len(idx), dtype=np.uint64)
+        for pos in range(max_len):
+            a = h >> np.uint64(30)
+            b = h & mask30
+            x = base * a  # < 2^38
+            t1 = ((x >> np.uint64(31)) + ((x & mask31) << np.uint64(30))) % p
+            h_new = (t1 + base * b + mat[:, pos]) % p
+            h = np.where(pos < lens, h_new, h)
+        return h
+
+    # pad-to-max over the WHOLE batch would be O(n_docs · longest_doc) in
+    # memory and compute (one 1 MB doc in a 10k-row batch ⇒ an 80 GB
+    # matrix). Sort by length and process similar-length chunks under a
+    # fixed cell budget, so work stays O(total chars · small constant).
+    order = np.argsort([len(c) for c in codes], kind="stable")
+    h_out = np.zeros(len(codes), dtype=np.uint64)
+    CELL_BUDGET = 1 << 24  # 16M uint64 cells ≈ 128 MB peak per chunk
+    start = 0
+    while start < len(order):
+        end = start + 1
+        while end < len(order):
+            width = len(codes[order[end]])  # sorted: running max
+            if max(1, width) * (end + 1 - start) > CELL_BUDGET:
+                break
+            end += 1
+        idx = order[start:end]
+        h_out[idx] = _chunk(idx)
+        start = end
+    out = h_out.astype(np.int64)
+    return np.where(h_out > (ROLL_MOD >> 1), out - np.int64(ROLL_MOD), out)
 
 
 @query("t5_doc_fingerprint")  # rolling hash — not SQL-expressible, rows-only

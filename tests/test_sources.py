@@ -151,21 +151,17 @@ def test_mosaic_placement_math():
     assert place["offset"](7, 14) == (512, 512)
     assert place["offset"](9, 15) == (768, 1024)
 
-    import math
-    span = 0.5 * 256
-    x0 = math.floor(((1540.0 - 0.0) - 12 * span) / 0.5)
-    y0 = math.floor(((1000.0 - 355.0) - 5 * span) / 0.5)
-    x1 = 4 * 256 - (256 - math.floor(((2040.0 - 0.0) - 15 * span) / 0.5))
-    y1 = 5 * 256 - (256 - math.floor(((1000.0 - (-275.0)) - 9 * span) / 0.5))
+    # hand-computed pixel corners (NOT recomputed via the implementation's
+    # formulas): tile x-origin of col 12 = 1536 → minX 1540 is 4 units =
+    # 8 px in; row 5 top = 360 → maxY 355 is 5 units = 10 px down; col 15
+    # ends at 2048 → maxX 2040 is 8 units short = 16 px ⇒ 1024-16 = 1008;
+    # row 9 bottom = -280 → minY -275 is 5 units up = 10 px ⇒ 1280-10=1270
     assert place["gcps"] == [
-        ((1540.0, 355.0), (x0, y0)),
-        ((2040.0, 355.0), (x1, y0)),
-        ((1540.0, -275.0), (x0, y1)),
-        ((2040.0, -275.0), (x1, y1)),
+        ((1540.0, 355.0), (8, 10)),
+        ((2040.0, 355.0), (1008, 10)),
+        ((1540.0, -275.0), (8, 1270)),
+        ((2040.0, -275.0), (1008, 1270)),
     ]
-    # corners must be inside the canvas and ordered
-    assert 0 <= x0 < x1 <= 4 * 256
-    assert 0 <= y0 < y1 <= 5 * 256
 
 
 def test_gtiff_mosaic_gated():
