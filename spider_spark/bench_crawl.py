@@ -71,7 +71,7 @@ def run_crawl_bench(cores: int, world_dir: str, work_dir: str) -> dict:
     spark = get_spark(
         app=f"crawl_bench_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=4 * cores,  # multi-wave tasks: straggler-tolerant
         extra={"spark.driver.memory": "48g"},  # single-JVM local mode: heap
         # must hold page batches × concurrent tasks without GC thrash
     )
@@ -82,7 +82,7 @@ def run_crawl_bench(cores: int, world_dir: str, work_dir: str) -> dict:
             robots_path=os.path.join(world_dir, "robots.parquet"),
             checkpoint_dir=ckpt,
             policy=BENCH_POLICY,
-            n_partitions=max(cores, 8),
+            n_partitions=4 * cores,
             use_bloom=False,  # exact anti-join path; bloom is a pre-screen
             bench_mode=True,
         )
