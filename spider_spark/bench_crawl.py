@@ -39,7 +39,8 @@ WORLD_SPEC = dict(
     delays=[0],
     seed_all_hosts=True,
     dead_link_rate=0.0,
-    page_weight=12,  # ~6 KB pages → realistic per-page parse cost
+    page_weight=16,  # ~8 KB pages — closer to real-world HTML parse cost
+    # per page (live pages average tens of KB; 12 was undersized)
     seed=42,
 )
 
