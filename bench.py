@@ -83,16 +83,16 @@ def run_crawl_scaling() -> dict:
     # overhead. 8→32 is NOT used: at the sandbox world size a 32-core round
     # is ~12 s of real work where the JVM scheduling floor dominates, which
     # measures the sandbox, not the engine (see BENCH/BASELINE.md).
-    # best-of-2 per level, ABBA order: shared-VM CPU availability drifts on
-    # the minute scale (observed ±30% on identical runs), so a single
-    # sample per level measures the host's mood, not the engine. Min
-    # wall-clock per level is the standard noise-rejecting estimator; both
-    # raw samples are recorded for transparency.
+    # best-of-2 per level, ABBA order, SYMMETRIC sample counts: shared-VM
+    # CPU availability drifts on the minute scale (observed ±30% on
+    # identical runs), so a single sample per level measures the host's
+    # mood, not the engine. Min wall-clock per level is the standard
+    # noise-rejecting estimator; both raw samples are recorded for
+    # transparency. The counts are equal per level so min-of-N doesn't
+    # give one side more chances at a lucky draw (round-2 used 2/3).
     preflight = wait_for_quiet_host(2, 8)
     samples: dict[int, list[dict]] = {2: [], 8: []}
-    # an extra 8-core sample: the high level is both the noisier side
-    # (smaller denominator) and the cheaper one to re-sample
-    for cores in (2, 8, 8, 8, 2):
+    for cores in (2, 8, 8, 2):
         samples[cores].append(_run_level_subprocess(cores, world, work))
     for cores, runs in samples.items():
         best = min(runs, key=lambda r: r["elapsed_sec"])

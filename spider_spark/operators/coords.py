@@ -133,20 +133,85 @@ def coord_transform_udf(mode: str):
     return _udf
 
 
-@query("f12_coord_transform")  # series expansion not SQL-expressible → rows-only
+# The GCJ-02/BD-09 series is plain sin/cos/atan2/sqrt, so the oracle is the
+# same series transcribed to DuckDB SQL in the numpy expression order. Two
+# determinism rules make the hash comparable:
+#  - the synthetic input points are derived INTEGER-exactly (cents =
+#    round(|bal|·100), then integer mod) — a float fmod here is NOT portable:
+#    DuckDB's fmod is not the exactly-rounded C fmod, and near multiples of
+#    the modulus the two results differ by the whole modulus;
+#  - outputs are floor-rounded at 6 dp (f10 precedent): numpy's SIMD sin/cos
+#    and DuckDB's libm differ by ~1e-12 after the ×320 series terms, and the
+#    closest 6-dp boundary across all three SFs is ≥9.8e-5 away — verified
+#    exhaustively, so the truncation absorbs the libm divergence.
+_F12_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(round(abs(c_acctbal)::DOUBLE * 100) AS BIGINT) AS cents
+  FROM customer
+), p AS (
+  SELECT c_custkey,
+         113.8 + (cents % 80000) / 100000.0 AS lng,
+         22.5  + (cents % 50000) / 100000.0 AS lat
+  FROM pts
+), t AS (
+  SELECT c_custkey, lng, lat, lng - 105.0 AS x, lat - 35.0 AS y FROM p
+), d AS (
+  SELECT c_custkey, lng, lat,
+    -100.0 + 2.0*x + 3.0*y + 0.2*y*y + 0.1*x*y + 0.2*sqrt(abs(x))
+      + (20.0*sin(6.0*x*pi()) + 20.0*sin(2.0*x*pi())) * 2.0/3.0
+      + (20.0*sin(y*pi()) + 40.0*sin(y/3.0*pi())) * 2.0/3.0
+      + (160.0*sin(y/12.0*pi()) + 320.0*sin(y*pi()/30.0)) * 2.0/3.0 AS dlat0,
+    300.0 + x + 2.0*y + 0.1*x*x + 0.1*x*y + 0.1*sqrt(abs(x))
+      + (20.0*sin(6.0*x*pi()) + 20.0*sin(2.0*x*pi())) * 2.0/3.0
+      + (20.0*sin(x*pi()) + 40.0*sin(x/3.0*pi())) * 2.0/3.0
+      + (150.0*sin(x/12.0*pi()) + 300.0*sin(x/30.0*pi())) * 2.0/3.0 AS dlng0
+  FROM t
+), g AS (
+  SELECT c_custkey, lng, lat, dlat0, dlng0,
+    lat/180.0*pi() AS radlat,
+    1 - 0.00669342162296594323 * sin(lat/180.0*pi()) * sin(lat/180.0*pi())
+      AS magic
+  FROM d
+), gc AS (
+  SELECT c_custkey,
+    lng + (dlng0 * 180.0)
+      / (6378245.0 / sqrt(magic) * cos(radlat) * pi()) AS glng,
+    lat + (dlat0 * 180.0)
+      / ((6378245.0 * (1 - 0.00669342162296594323)) / (magic * sqrt(magic))
+         * pi()) AS glat
+  FROM g
+), bd AS (
+  SELECT c_custkey,
+    (sqrt(glng*glng + glat*glat)
+       + 0.00002*sin(glat * (pi()*3000.0/180.0))) AS z,
+    (atan2(glat, glng) + 0.000003*cos(glng * (pi()*3000.0/180.0))) AS theta
+  FROM gc
+)
+SELECT c_custkey,
+       floor((z*cos(theta) + 0.0065) * 1000000)/1000000 AS bd_lng,
+       floor((z*sin(theta) + 0.006) * 1000000)/1000000 AS bd_lat
+FROM bd
+"""
+
+
+@query("f12_coord_transform", _F12_ORACLE)
 def f12_coord_transform(spark, sf_dir):
     """WGS-84 → BD-09 over synthetic Shenzhen-area points derived from
-    customer rows (one vectorized numpy UDF, 6-dp rounding like
-    /root/reference/coordsTransform.py:37-39)."""
+    customer rows (one vectorized numpy UDF, 6-dp floor-rounding like
+    /root/reference/coordsTransform.py:37-39). Input points use an
+    integer-exact derivation and the output a floor-round — see
+    _F12_ORACLE's comment for why both are required for a portable hash."""
     c = load(spark, sf_dir, "customer")
+    cents = F.round(F.abs(F.col("c_acctbal")).cast("double") * 100).cast("long")
     pts = c.select(
         "c_custkey",
-        (F.lit(113.8) + F.pmod(F.abs(F.col("c_acctbal")), F.lit(0.8))).alias("lng"),
-        (F.lit(22.5) + F.pmod(F.abs(F.col("c_acctbal")) / 100, F.lit(0.5))).alias("lat"),
+        (F.lit(113.8) + (cents % 80000) / F.lit(100000.0)).alias("lng"),
+        (F.lit(22.5) + (cents % 50000) / F.lit(100000.0)).alias("lat"),
     )
     out = pts.withColumn("bd", coord_transform_udf("wgs84_to_bd09")("lng", "lat"))
     return out.select(
         "c_custkey",
-        F.round("bd.out_lng", 6).alias("bd_lng"),
-        F.round("bd.out_lat", 6).alias("bd_lat"),
+        (F.floor(F.col("bd.out_lng") * 1000000) / 1000000.0).alias("bd_lng"),
+        (F.floor(F.col("bd.out_lat") * 1000000) / 1000000.0).alias("bd_lat"),
     )

@@ -498,33 +498,108 @@ def d4_simhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# d5 parameters. The test corpus has no organic near-dups (max within-label
+# cosine ≈ 0.51 across SFs), so the query deterministically PLANTS them: the
+# first D5_N_PLANT vectors get a jittered clone (x·0.995 + 0.01, cos ≈
+# 0.9968 to the source — integer-free IEEE ops, bit-identical in Spark and
+# DuckDB). Candidates come from sign-bit LSH: 128 shared hyperplanes
+# (similarity.hyperplanes) packed into 16 bands of 8 bits. For a planted
+# pair (plane-agreement p ≈ 0.948) the per-band collision is p^8 ≈ 0.65, so
+# P(miss all 16 bands) ≈ 3e-8; for a random pair (p ≈ 0.5) the expected
+# band collisions are 16/256 ≈ 0.06 — measured ~93 % candidate pruning with
+# 100 % recall at every SF (asserted in tests and by the oracle hash).
+D5_N_PLANT = 40
+D5_ID_OFFSET = 1_000_000
+D5_THRESHOLD = 0.95
+D5_N_PLANES = 128
+D5_BAND_BITS = 8
+D5_N_BANDS = D5_N_PLANES // D5_BAND_BITS
+
+
+def _d5_corpus(spark, sf_dir):
+    """embeddings ∪ planted jittered clones, embeddings as double arrays."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    planted = e.filter(F.col("vec_id") < D5_N_PLANT).select(
+        (F.col("vec_id") + D5_ID_OFFSET).alias("vec_id"),
+        "label",
+        F.transform("emb", lambda x: x * 0.995 + 0.01).alias("emb"),
+    )
+    return e.unionByName(planted)
+
+
+def d5_band_buckets_udf():
+    """Arrow-batched band-bucket computation: one matmul against the shared
+    hyperplanes per batch, sign bits packed 8-per-band — no per-row work."""
+    from spider_spark.operators.similarity import hyperplanes
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _udf(embs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = hyperplanes(D5_N_PLANES)
+        mat = np.stack(embs.map(np.asarray).values).astype(np.float64)
+        bits = (mat @ planes.T) > 0
+        w = (1 << np.arange(D5_BAND_BITS)).astype(np.int64)
+        buckets = np.stack(
+            [
+                bits[:, b * D5_BAND_BITS : (b + 1) * D5_BAND_BITS] @ w
+                for b in range(D5_N_BANDS)
+            ],
+            axis=1,
+        ).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    return _udf
+
+
 @query(
     "d5_embedding_neardup",
-    """
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + {D5_ID_OFFSET}, label,
+             list_transform(embedding::DOUBLE[], x -> x*0.995 + 0.01)
+      FROM embeddings WHERE vec_id < {D5_N_PLANT}
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
-             AS cos_sim
-    FROM embeddings a JOIN embeddings b
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+    FROM corpus a JOIN corpus b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2
+    WHERE list_cosine_similarity(a.emb, b.emb) >= {D5_THRESHOLD}
     """,
 )
 def d5_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label — dot products via
-    JVM higher-order functions (zip_with/aggregate), double precision to
-    match the oracle bit-for-bit after rounding."""
-    e = load(spark, sf_dir, "embeddings").withColumn(
-        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    """Embedding-cosine near-dup: sign-bit LSH pre-screen (16 bands × 8 bits
+    over 128 shared hyperplanes) → banded candidate equi-join on
+    (label, band, bucket) → exact cosine verify ≥ 0.95 on candidates only —
+    the d3 shape. The oracle is the exact all-pairs-within-label form this
+    operator replaced (kept as the small-scale correctness check); at scale
+    the band equi-join is the only shuffle and no task ever sees a whole
+    label block's pair set. See _d5_corpus / the constants above for the
+    planted-duplicate construction."""
+    corpus = _d5_corpus(spark, sf_dir)
+    bands = corpus.select(
+        "vec_id",
+        "label",
+        F.posexplode(d5_band_buckets_udf()("emb")).alias("band", "bucket"),
     )
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label"),
-        F.col("emb").alias("ea"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("lb"),
-        F.col("emb").alias("eb"),
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
 
     def dot(x, y):
@@ -534,12 +609,15 @@ def d5_embedding_neardup(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
+    ea = corpus.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    eb = corpus.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
     cos = dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
     )
     return (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-        .filter(cos >= 0.2)
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(cos >= D5_THRESHOLD)
         .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
     )
 

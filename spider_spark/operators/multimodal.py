@@ -50,7 +50,8 @@ def decode_image_fake(payload: bytes) -> np.ndarray:
 
 
 def _phash(img: np.ndarray) -> int:
-    """Tiny average-hash: bit per pixel above the mean (8×8 → 64-bit)."""
+    """Scalar average-hash reference (bit per pixel above the mean,
+    8×8 → 64-bit) — kept as the parity oracle for ``phash_batch``."""
     bits = (img > img.mean()).flatten()
     v = 0
     for i, b in enumerate(bits):
@@ -59,38 +60,78 @@ def _phash(img: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def phash_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized average-hash over a stacked (n, 8, 8) batch: per-row mean,
+    bit matrix, one weighted sum — int64 via two's-complement view so bit 63
+    is the sign bit exactly like the scalar reference."""
+    flat = imgs.reshape(len(imgs), 64).astype(np.float64)
+    bits = flat > flat.mean(axis=1, keepdims=True)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64).view(
+        np.int64
+    )
+
+
 def image_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction over a binary column — the pattern a
     real pipeline uses for decode/resize/embed; batch shape: one Arrow
-    batch in → one metadata frame out."""
+    batch in → one metadata frame out. Only the decode call is per-row
+    (it is the real-decoder slot); stats and phash are numpy over the
+    whole batch."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
-                img = decode_image_fake(payload)
-                rows.append(
-                    (
-                        int(doc_id),
-                        len(payload),
-                        img.shape[1],
-                        img.shape[0],
-                        float(img.mean()),
-                        _phash(img),
-                    )
-                )
+            payloads = list(pdf[bin_col])
+            imgs = np.stack([decode_image_fake(p) for p in payloads]) if payloads else np.empty((0, 8, 8), dtype=np.uint8)
+            flat = imgs.reshape(len(imgs), 64).astype(np.float64)
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_bytes", "width", "height",
-                    "mean_intensity", "phash",
-                ],
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "n_bytes": np.fromiter(
+                        (len(p) for p in payloads), dtype=np.int32, count=len(payloads)
+                    ),
+                    "width": np.full(len(payloads), imgs.shape[2] if len(payloads) else 8, dtype=np.int32),
+                    "height": np.full(len(payloads), imgs.shape[1] if len(payloads) else 8, dtype=np.int32),
+                    "mean_intensity": flat.mean(axis=1) if len(payloads) else np.empty(0),
+                    "phash": phash_batch(imgs) if len(payloads) else np.empty(0, dtype=np.int64),
+                }
             )
 
     return df.select(id_col, bin_col).mapInPandas(_extract, schema=IMAGE_META_SCHEMA)
 
 
-@query("mm_image_features")  # fake-decode features → rows-only oracle check
+# The fake decoder is deterministic byte math (pixel i = payload byte
+# i mod n, tiled to 8×8), and documents.text is ASCII at every SF, so the
+# whole feature extraction is SQL-expressible: ascii(substr(...)) recovers
+# the payload bytes and a HUGEINT bit-sum rebuilds the signed-64 phash.
+# That converts this from a rows-only check to a full hash-checked oracle
+# of the mapInPandas plumbing (batching, schema, sign handling).
+_MM_IMG_ORACLE = """
+WITH px AS (
+  SELECT doc_id, length(text)::INT AS n_bytes,
+         list_transform(range(0, 64),
+                        i -> ascii(substr(text, ((i % length(text)) + 1)::INT, 1))
+         ) AS pix
+  FROM documents
+), m AS (
+  SELECT doc_id, n_bytes, pix, list_sum(pix) / 64.0 AS mean FROM px
+), h AS (
+  SELECT doc_id, n_bytes, mean,
+    list_sum(list_transform(range(0, 64),
+      i -> CASE WHEN pix[(i + 1)::INT] > mean
+                THEN (1::HUGEINT << i::INT) ELSE 0::HUGEINT END)) AS raw
+  FROM m
+)
+SELECT doc_id, n_bytes, 8 AS width, 8 AS height,
+       round(mean, 4) AS mean_intensity,
+       (CASE WHEN raw >= 9223372036854775808::HUGEINT
+             THEN raw - 18446744073709551616::HUGEINT
+             ELSE raw END)::BIGINT AS phash
+FROM h
+"""
+
+
+@query("mm_image_features", _MM_IMG_ORACLE)
 def mm_image_features(spark, sf_dir):
     """Binary-column pipeline demo: documents.text encoded to bytes stands
     in for an image payload; extract (n_bytes, dims, intensity, phash)."""
@@ -121,26 +162,65 @@ def frame_sample(
     """Video-style frame sampling as a one-to-many mapInPandas (UDTF
     shape): each binary payload emits one 'frame' per ``every_n_bytes``
     stride — the partitioning/batching pattern for real video decode,
-    with the codec swapped for a deterministic byte-slice."""
-    from spider_spark.urlnorm import murmur3_32
+    with the codec swapped for a deterministic byte-slice. Bookkeeping
+    (frame counts, indices, offsets) and hashing are numpy over the whole
+    batch; only the byte-slice itself — the decode slot — touches one
+    frame at a time."""
+    from spider_spark.urlnorm import murmur3_32_batch
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
-                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
-                    frame = bytes(payload[off : off + frame_len])
-                    out.append((int(doc_id), i, frame, murmur3_32(frame)))
+            payloads = list(pdf[bin_col])
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+            )
+            n_frames = -(-lens // every_n_bytes)  # ceil; 0 frames for empty
+            doc_ids = np.repeat(
+                pdf[id_col].astype("int64").to_numpy(), n_frames
+            )
+            row_of = np.repeat(np.arange(len(payloads)), n_frames)
+            frame_starts = np.zeros(len(payloads), dtype=np.int64)
+            np.cumsum(n_frames[:-1], out=frame_starts[1:])
+            frame_idx = np.arange(int(n_frames.sum())) - frame_starts[row_of]
+            offs = frame_idx * every_n_bytes
+            frames = [
+                bytes(payloads[r][o : o + frame_len])
+                for r, o in zip(row_of, offs)
+            ]
             yield pd.DataFrame(
-                out, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hash"]
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "frame_bytes": frames,
+                    "frame_hash": murmur3_32_batch(frames).astype(np.int64),
+                }
             )
 
     return df.select(id_col, bin_col).mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
-@query("mm_frame_sample")  # one-to-many decode plumbing → rows-only
+# the frame slices are substrings of the (ASCII) source text, so md5 over
+# them is computable on both engines — that upgrades the one-to-many decode
+# plumbing from a rows-only check to a value-hash-checked one. The murmur
+# frame_hash column stays in FRAME_SCHEMA for engine use (not SQL-portable;
+# its batch kernel is parity-tested in tests/test_operators.py).
+_MM_FRAME_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) + 255) // 256)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       md5(substr(text, (frame_idx * 256 + 1)::INT, 64)) AS frame_md5
+FROM f
+"""
+
+
+@query("mm_frame_sample", _MM_FRAME_ORACLE)
 def mm_frame_sample(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return frame_sample(d).select("doc_id", "frame_idx", "frame_hash")
+    return frame_sample(d).select(
+        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    )

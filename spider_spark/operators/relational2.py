@@ -345,9 +345,13 @@ def j5_tile_placement(spark, sf_dir):
         .cast("long")
         .alias("col"),
     )
-    w = Window.partitionBy()
-    return parsed.select(
+    # global min via a 1-row aggregate broadcast-cross-joined back — an
+    # unpartitioned window would funnel the whole mosaic through one task
+    origin = parsed.agg(
+        F.min("col").alias("min_col"), F.min("row").alias("min_row")
+    )
+    return parsed.crossJoin(F.broadcast(origin)).select(
         "fname",
-        ((F.col("col") - F.min("col").over(w)) * 256).alias("px"),
-        ((F.col("row") - F.min("row").over(w)) * 256).alias("py"),
+        ((F.col("col") - F.col("min_col")) * 256).alias("px"),
+        ((F.col("row") - F.col("min_row")) * 256).alias("py"),
     )

@@ -190,7 +190,27 @@ def rolling_fingerprint_batch(texts) -> "np.ndarray":
     return np.where(h_out > (ROLL_MOD >> 1), out - np.int64(ROLL_MOD), out)
 
 
-@query("t5_doc_fingerprint")  # rolling hash — not SQL-expressible, rows-only
+# the Horner recurrence is SQL-expressible after all: DuckDB's list_reduce
+# seeds with the first element, which equals Horner-from-0 (0·131 + c₁ = c₁),
+# and HUGEINT keeps acc·131 < 2^68 exact before the mod. unicode(substr())
+# recovers the codepoints ord() sees, so the oracle matches on any text.
+_T5_ORACLE = """
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 0
+            WHEN h > 1152921504606846975::HUGEINT
+            THEN (h - 2305843009213693951::HUGEINT)::BIGINT
+            ELSE h::BIGINT END AS fingerprint
+FROM (
+  SELECT doc_id, length(text) AS n, list_reduce(
+    list_transform(range(1, length(text) + 1),
+                   i -> unicode(substr(text, i::INT, 1))::HUGEINT),
+    (acc, c) -> (acc * 131 + c) % 2305843009213693951::HUGEINT) AS h
+  FROM documents
+)
+"""
+
+
+@query("t5_doc_fingerprint", _T5_ORACLE)
 def t5_doc_fingerprint(spark, sf_dir):
     """Polynomial rolling-hash document fingerprint (mod 2^61-1) as a
     batch-vectorized pandas UDF (numpy per character position across the

@@ -3,7 +3,11 @@ Spark and its oracle_sql() on DuckDB over the same parquet, compare schema
 column names, row counts, and column-name-sorted values.
 
 Used by tests/test_queries_vs_duckdb.py and runnable standalone:
-    python -m spider_spark.verify [sf_dir]
+    python -m spider_spark.verify [sf_dir] [only1,only2] [--json out.json]
+
+``--json`` writes a per-query artifact (the committed
+CORRECTNESS_local_r{N}.json files) so the queries the driver's sample
+doesn't cover have a recorded, diffable signal each round.
 """
 
 from __future__ import annotations
@@ -104,10 +108,19 @@ def verify_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, s
 
 
 if __name__ == "__main__":
+    import json
+    import time
+
     from spider_spark.session import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    only = argv[1].split(",") if len(argv) > 1 else None
     spark = get_spark(master="local[8]")
     res = verify_all(spark, sf, only)
     bad = 0
@@ -116,4 +129,20 @@ if __name__ == "__main__":
         if res[k].startswith(("FAIL", "ERROR")):
             bad += 1
     print(f"\n{len(res)} queries, {bad} failing")
+    if json_out:
+        n_pass = sum(1 for v in res.values() if v == "PASS")
+        artifact = {
+            "sf_dir": sf,
+            "run_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "n_queries": len(res),
+            "n_oracle_pass": n_pass,
+            "n_rows_only": sum(
+                1 for v in res.values() if v.startswith("ROWS_ONLY")
+            ),
+            "n_failing": bad,
+            "queries": dict(sorted(res.items())),
+        }
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"wrote {json_out}")
     sys.exit(1 if bad else 0)

@@ -234,3 +234,126 @@ def test_rolling_fingerprint_batch_matches_reference():
     got = rolling_fingerprint_batch(texts)
     for t, g in zip(texts, got):
         assert int(g) == rolling_fingerprint(t), repr(t[:30])
+
+
+def test_d5_lsh_candidates_complete_and_banded(spark, sf_dir):
+    """(a) Recall: the banded LSH candidate set must contain every pair the
+    exact all-pairs-within-label verify would emit (the oracle hash only
+    stays green if recall is 1 on the fixed test data). (b) Scale shape:
+    the candidate join is an equi-join keyed on (label, band, bucket) —
+    no cartesian/nested-loop pair join over whole label blocks."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators.dedup import (
+        D5_THRESHOLD,
+        _d5_corpus,
+        d5_embedding_neardup,
+    )
+
+    q = d5_embedding_neardup(spark, sf_dir)
+    got = {(r["id_a"], r["id_b"]) for r in q.collect()}
+
+    corpus = _d5_corpus(spark, sf_dir)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("emb").alias("ea")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("emb").alias("eb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .filter(cos >= D5_THRESHOLD)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan  # candidate join keyed on the LSH band bucket
+
+
+def test_j5_no_single_partition_window(spark, sf_dir):
+    """j5's global min must come from an aggregate + broadcast join, not an
+    unpartitioned window that funnels the mosaic through one task."""
+    q = QUERIES["j5_tile_placement"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_phash_batch_matches_scalar_reference():
+    import numpy as np
+
+    from spider_spark.operators.multimodal import _phash, phash_batch
+
+    rs = np.random.RandomState(9)
+    imgs = rs.randint(0, 256, size=(50, 8, 8)).astype(np.uint8)
+    # force sign-bit and degenerate cases
+    imgs[0] = 255  # all equal -> no bit set (x > mean is strict)
+    imgs[1] = 0
+    imgs[2].flat[63] = 255
+    imgs[2].flat[:63] = 0
+    got = phash_batch(imgs)
+    for i in range(len(imgs)):
+        assert int(got[i]) == _phash(imgs[i]), i
+
+
+def test_murmur_batch_matches_scalar_reference():
+    import random
+
+    from spider_spark.urlnorm import murmur3_32, murmur3_32_batch
+
+    random.seed(7)
+    frames = [b"", b"a", b"ab", b"abc", b"abcd", b"abcde", bytes(range(256))]
+    frames += [
+        bytes(random.randrange(256) for _ in range(random.randrange(0, 100)))
+        for _ in range(200)
+    ]
+    got = murmur3_32_batch(frames)
+    for f, g in zip(frames, got):
+        assert int(g) == murmur3_32(f), f[:20]
+
+
+def test_frame_sample_matches_per_row_semantics(spark):
+    """The vectorized frame bookkeeping must emit exactly the frames the
+    original per-row loop emitted: one frame per every_n_bytes stride,
+    frame = payload[off : off + frame_len], murmur3 of the frame bytes."""
+    from spider_spark.operators.multimodal import frame_sample
+    from spider_spark.urlnorm import murmur3_32
+
+    payloads = [
+        (0, b""),
+        (1, b"x"),
+        (2, b"a" * 256),
+        (3, b"b" * 257),
+        (4, bytes(range(256)) * 3 + b"tail"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["frame_idx"], bytes(r["frame_bytes"]), r["frame_hash"])
+        for r in frame_sample(df).collect()
+    }
+    want = set()
+    for doc_id, payload in payloads:
+        for i, off in enumerate(range(0, len(payload), 256)):
+            frame = payload[off : off + 64]
+            want.add((doc_id, i, frame, murmur3_32(frame)))
+    assert got == want

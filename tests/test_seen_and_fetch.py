@@ -81,3 +81,36 @@ def test_fetch_retry_semantics(world_dir):
 
     status, html, attempts = fetch_with_retry(t3, ok_url, retries=5)
     assert status == 200 and attempts == 1
+
+
+def test_probe_mode_scans_page_store_once_per_round(spark, world_dir, tmp_path):
+    """Regression pin for the round-1 double-scan: in fetch_mode="probe"
+    the page-store probe feeds BOTH the hit union branch and the miss
+    anti-join. The hits must be served from a persisted cache (both
+    branches read InMemoryTableScan), so parquet is scanned once per
+    round, and the dequeued URL set — not the store — is the broadcast
+    side of the probe join."""
+    import os
+
+    from spider_spark.engine import CrawlEngine
+
+    eng = CrawlEngine(
+        spark,
+        pages_path=os.path.join(world_dir, "pages.parquet"),
+        robots_path=os.path.join(world_dir, "robots.parquet"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_partitions=4,
+        fetch_mode="probe",
+    )
+    dequeued = spark.createDataFrame(
+        [("http://h0.test/0",), ("http://h1.test/0",)], "url string"
+    )
+    fetched = eng._fetch(dequeued)
+    fetched.count()  # materialize -> populates the round's hit cache
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    # both consumers read the cached probe result, not parquet directly
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # the probe join broadcasts the (small) dequeued side into the scan
+    assert "BroadcastHashJoin" in plan
+    for h in eng._round_handles:
+        h.unpersist()
