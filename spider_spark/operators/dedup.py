@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spider_spark.operators import load, query
+from spider_spark.operators import load, query, sqlmurmur
 from spider_spark.urlnorm import murmur3_32
 
 # ---------------------------------------------------------------------------
@@ -290,7 +290,68 @@ def minhash_signatures_df(d):
     )
 
 
-@query("d3_minhash_lsh")
+def _d3_oracle() -> str:
+    """The full minhash pipeline transcribed to DuckDB SQL: shingles →
+    generated murmur3 fold (sqlmurmur, bit-parity with Spark's hash()) →
+    32 universal-hash min-aggregates → banded candidate join → exact
+    shingle-Jaccard verify. The band join keys on the raw 4-minhash tuple
+    where Spark keys on hash(tuple) — identical semantics up to a 2^-32
+    bucket collision, which the fixed test corpus doesn't hit (the verify
+    filter absorbs near-misses either way)."""
+    perm_mins = ",\n             ".join(
+        f"min((x * {_MH_A[i]} + {_MH_B[i]}) % {_MH_PRIME}) AS m{i}"
+        for i in range(N_PERM)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, [{ms}] AS k FROM sigs".format(
+            b=i,
+            ms=", ".join(f"m{i * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+        )
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), shlist AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= {SHINGLE_W}
+               THEN list_transform(range(0, len(t) - {SHINGLE_W} + 1),
+                      i -> array_to_string(list_slice(t, i + 1, i + {SHINGLE_W}), ' '))
+               ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ), shingle AS (
+      SELECT doc_id, unnest(sh) AS s FROM shlist
+    ), based AS (
+      SELECT doc_id, {sqlmurmur.murmur32_string_aliases("s", "mh", "q")}
+      FROM shingle
+    ), xs AS (
+      SELECT doc_id,
+             (CASE WHEN mh < 0 THEN mh + 4294967296 ELSE mh END) % {_MH_PRIME} AS x
+      FROM based
+    ), sigs AS (
+      SELECT doc_id,
+             {perm_mins}
+      FROM xs GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+    ), jac AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+      FROM cand c
+      JOIN shlist sa ON sa.doc_id = c.id_a
+      JOIN shlist sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(inter * 1.0 / uni, 4) AS jaccard
+    FROM jac WHERE inter * 1.0 / uni >= 0.35
+    """
+
+
+@query("d3_minhash_lsh", _d3_oracle())
 def d3_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → 32-perm minhash signature (JVM
     column math, no UDF — see minhash_signatures_df) → 8 bands of 4 →
@@ -440,7 +501,75 @@ def simhash_df(d):
     return accs.select("doc_id", fp.alias("simhash"))
 
 
-@query("d4_simhash")
+def _d4_oracle() -> str:
+    """SimHash transcribed to DuckDB SQL: per-token two murmur3 lanes
+    (generated sqlmurmur fold), 64 per-bit ±1 sum aggregates, HUGEINT
+    fingerprint reassembly with two's-complement signing, pigeonhole
+    banding, candidate equi-join, bit_count(xor) hamming verify (DuckDB's
+    bit_count is two's-complement over BIGINT like Spark's). Band 12's
+    5th bit replicates bit 63 — Spark's arithmetic shiftright sign
+    extension."""
+    bit = lambda b: f"CASE WHEN b{b} > 0 THEN 1 ELSE 0 END"  # noqa: E731
+    accs = ",\n             ".join(
+        "sum(CASE WHEN (u{lane} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}".format(
+            lane="lo" if b < 32 else "hi", sh=b if b < 32 else b - 32, b=b
+        )
+        for b in range(64)
+    )
+    raw = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::HUGEINT << {b}) ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    bcols = ", ".join(f"b{b}" for b in range(64))
+    band_bits = []
+    for i in range(N_SH_BANDS):
+        terms = []
+        for j in range(_SH_BAND_BITS):
+            pos = i * _SH_BAND_BITS + j
+            terms.append(f"({bit(min(pos, 63))}) * {1 << j}")
+        band_bits.append(" + ".join(terms))
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, source, lang, simhash, {i} AS band, ({band_bits[i]}) AS bits FROM fp"
+        for i in range(N_SH_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), lanes AS (
+      SELECT doc_id,
+             {sqlmurmur.murmur32_string_aliases("tok", "lo", "ql")},
+             {sqlmurmur.murmur32_string_aliases("tok || '#2'", "hi", "qh")}
+      FROM tok
+    ), ul AS (
+      SELECT doc_id,
+             CASE WHEN lo < 0 THEN lo + 4294967296 ELSE lo END AS ulo,
+             CASE WHEN hi < 0 THEN hi + 4294967296 ELSE hi END AS uhi
+      FROM lanes
+    ), acc AS (
+      SELECT doc_id,
+             {accs}
+      FROM ul GROUP BY doc_id
+    ), fp0 AS (
+      SELECT doc_id, ({raw}) AS raw, {bcols} FROM acc
+    ), fp AS (
+      SELECT f.*, d.source, d.lang,
+             (CASE WHEN raw >= 9223372036854775808::HUGEINT
+                   THEN raw - 18446744073709551616::HUGEINT
+                   ELSE raw END)::BIGINT AS simhash
+      FROM fp0 f JOIN documents d ON d.doc_id = f.doc_id
+    ), bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM bands a JOIN bands b
+      ON a.source = b.source AND a.lang = b.lang
+     AND a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+    """
+
+
+@query("d4_simhash", _d4_oracle())
 def d4_simhash(spark, sf_dir):
     """SimHash near-dup pairs at hamming distance ≤ 12 within a
     (source, lang) block — banded: candidates come from an equi-join on

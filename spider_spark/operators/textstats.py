@@ -11,7 +11,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spider_spark.operators import load, query
+from spider_spark.operators import load, query, sqlmurmur
 from spider_spark.urlnorm import murmur3_32
 
 _STOPWORDS = ("the", "a")
@@ -284,10 +284,23 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
-@query("t7_murmur_fingerprint")  # murmur3 not available in DuckDB — rows-only
+# DuckDB has no murmur3, but Spark's hash() is plain integer arithmetic —
+# sqlmurmur generates the whole fold+finalizer as SQL (HUGEINT for the two
+# overflow-prone multiplies), turning this from rows-only into a full
+# value-hash-checked oracle. ASCII-only corpus makes unicode(substr())
+# byte access exact (asserted over the testdata in tests).
+_T7_ORACLE = f"""
+SELECT doc_id, content_hash
+FROM (SELECT doc_id, {sqlmurmur.murmur32_string_aliases("text", "content_hash", "t7")}
+      FROM documents)
+"""
+
+
+@query("t7_murmur_fingerprint", _T7_ORACLE)
 def t7_murmur_fingerprint(spark, sf_dir):
     """Murmur3-32 content hash via Spark's built-in hash() (JVM-side) —
-    verified in tests against the pure-Python murmur3_32 (bit parity)."""
+    verified in tests against the pure-Python murmur3_32 (bit parity) and
+    against the generated DuckDB murmur SQL (_T7_ORACLE)."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", F.hash("text").alias("content_hash"))
 
