@@ -284,6 +284,78 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+@query(
+    "t8_repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           round(list_max(list_transform(list_distinct(toks),
+                   u -> len(list_filter(toks, x -> x = u)))) * 1.0
+                 / len(toks), 4) AS top_token_frac,
+           round(CASE WHEN len(toks) >= 2
+                 THEN 1.0 - len(list_distinct(list_transform(
+                        range(0, len(toks) - 1),
+                        i -> toks[(i + 1)::INT] || ' ' || toks[(i + 2)::INT])))
+                      * 1.0 / (len(toks) - 1)
+                 ELSE 0.0 END, 4) AS dup_bigram_frac,
+           round(length(replace(text, ' ', '')) * 1.0 / len(toks), 4)
+             AS mean_word_len,
+           (list_max(list_transform(list_distinct(toks),
+                   u -> len(list_filter(toks, x -> x = u)))) * 1.0
+                 / len(toks) <= 0.12
+            AND (CASE WHEN len(toks) >= 2
+                 THEN 1.0 - len(list_distinct(list_transform(
+                        range(0, len(toks) - 1),
+                        i -> toks[(i + 1)::INT] || ' ' || toks[(i + 2)::INT])))
+                      * 1.0 / (len(toks) - 1)
+                 ELSE 0.0 END) <= 0.06
+            AND length(replace(text, ' ', '')) * 1.0 / len(toks)
+                BETWEEN 3.0 AND 10.0) AS keep
+    FROM t
+    """,
+)
+def t8_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition rules (Rae et al. 2021, public): most-common-
+    token fraction, duplicate-bigram fraction, mean word length, and the
+    composed keep gate. Everything is per-row higher-order array math —
+    zero shuffles, stays in whole-stage codegen, so at 100 TB this is a
+    pure map over the corpus scan (the same shape the reference's per-page
+    field cleanup takes in /root/reference/zjj_sz_gov_cn.py:160-208)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda u: F.size(F.filter(toks, lambda x: x == u)),
+            )
+        )
+        * 1.0
+        / n
+    )
+    bg = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    dup_bg = F.when(
+        n >= 2, 1.0 - F.size(F.array_distinct(bg)) * 1.0 / (n - 1)
+    ).otherwise(F.lit(0.0))
+    mwl = F.length(F.regexp_replace("text", " ", "")) * 1.0 / n
+    keep = (top_frac <= 0.12) & (dup_bg <= 0.06) & mwl.between(3.0, 10.0)
+    return d.select(
+        "doc_id",
+        F.round(top_frac, 4).alias("top_token_frac"),
+        F.round(dup_bg, 4).alias("dup_bigram_frac"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        keep.alias("keep"),
+    )
+
+
 # DuckDB has no murmur3, but Spark's hash() is plain integer arithmetic —
 # sqlmurmur generates the whole fold+finalizer as SQL (HUGEINT for the two
 # overflow-prone multiplies), turning this from rows-only into a full
