@@ -45,10 +45,21 @@ WORLD_SPEC = dict(
 )
 
 
-def ensure_world(cache_dir: str) -> str:
-    """Build (once) and cache the bench world; spec-keyed so changing
-    WORLD_SPEC invalidates the cache."""
-    key = json.dumps(WORLD_SPEC, sort_keys=True)
+# Supplementary evidence pair (root BASELINE.md's original 8→32 protocol):
+# the same per-host trees at 4× the host count (~780k pages), so a 32-core
+# round carries ≥60 s of real work and the measurement is the engine, not
+# the per-stage scheduling floor that made 8→32 meaningless on the 194k
+# world. Run once via `python -m spider_spark.bench_crawl pair` →
+# BENCH/scaling_8_32.json; the per-round 2→8 pair on the standard world
+# stays the headline (bench.py) because a full big-world ABBA cycle costs
+# ~25 min of bench time.
+BIG_WORLD_SPEC = dict(WORLD_SPEC, n_hosts=384)
+
+
+def ensure_world(cache_dir: str, spec: dict | None = None) -> str:
+    """Build (once) and cache a bench world; spec-keyed so changing the
+    spec invalidates the cache."""
+    key = json.dumps(spec or WORLD_SPEC, sort_keys=True)
     marker = os.path.join(cache_dir, "spec.json")
     if os.path.isfile(marker) and open(marker).read() == key:
         return cache_dir
@@ -56,7 +67,7 @@ def ensure_world(cache_dir: str) -> str:
     os.makedirs(cache_dir, exist_ok=True)
     from spider_spark.fixtures import write_world
 
-    write_world(cache_dir, **WORLD_SPEC)
+    write_world(cache_dir, **(spec or WORLD_SPEC))
     with open(marker, "w") as f:
         f.write(key)
     return cache_dir
@@ -210,10 +221,54 @@ def _burn(n: int) -> int:
     return s
 
 
+def run_supplementary_pair(repo_dir: str) -> dict:
+    """The 8→32 pair on the 4× world (see BIG_WORLD_SPEC) — same protocol
+    as bench.py's headline 2→8 pair: preflight quiet-host gate, per-level
+    warmup inside each subprocess, ABBA order with symmetric best-of-2,
+    pre/post machine-ceiling probes recorded in the artifact."""
+    world = ensure_world(
+        os.path.join(repo_dir, ".bench_cache", "world_big_v1"), BIG_WORLD_SPEC
+    )
+    work = os.path.join(repo_dir, ".bench_cache", "work_big")
+    # this VM's 8→32 tight-loop ceiling is structurally ~0.7 (hypervisor
+    # cap: 32p tight loops run ~1.4× slower per-proc than 8p in every
+    # window probed) — the gate can only filter out worse-than-usual
+    # windows, not wait for a 0.9 that the hardware never grants
+    preflight = wait_for_quiet_host(8, 32, target=0.72)
+    samples: dict[int, list[dict]] = {8: [], 32: []}
+    for cores in (8, 32, 32, 8):
+        samples[cores].append(_run_level_subprocess(cores, world, work))
+    levels = {}
+    for cores, runs in samples.items():
+        best = min(runs, key=lambda r: r["elapsed_sec"])
+        levels[f"local{cores}"] = {
+            **best,
+            "all_elapsed_sec": [r["elapsed_sec"] for r in runs],
+        }
+    eff = (
+        levels["local32"]["pages_per_sec"] / levels["local8"]["pages_per_sec"]
+    ) / 4
+    return {
+        "world_spec": BIG_WORLD_SPEC,
+        **levels,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "machine_ceiling_preflight": preflight,
+        "machine_ceiling_8_to_32": machine_ceiling(8, 32),
+    }
+
+
 if __name__ == "__main__":
     import sys
 
-    cores_arg = int(sys.argv[1])
-    world = sys.argv[2]
-    work = sys.argv[3]
-    print("RESULT " + json.dumps(run_crawl_bench(cores_arg, world, work)))
+    if sys.argv[1] == "pair":
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        result = run_supplementary_pair(repo)
+        os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+        with open(os.path.join(repo, "BENCH", "scaling_8_32.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        print("RESULT " + json.dumps(result))
+    else:
+        cores_arg = int(sys.argv[1])
+        world = sys.argv[2]
+        work = sys.argv[3]
+        print("RESULT " + json.dumps(run_crawl_bench(cores_arg, world, work)))
