@@ -290,14 +290,20 @@ def minhash_signatures_df(d):
     )
 
 
-def _d3_oracle() -> str:
+def _d3_oracle(
+    pair_cond: str = "a.doc_id < b.doc_id",
+    a_name: str = "id_a",
+    b_name: str = "id_b",
+) -> str:
     """The full minhash pipeline transcribed to DuckDB SQL: shingles →
     generated murmur3 fold (sqlmurmur, bit-parity with Spark's hash()) →
     32 universal-hash min-aggregates → banded candidate join → exact
     shingle-Jaccard verify. The band join keys on the raw 4-minhash tuple
     where Spark keys on hash(tuple) — identical semantics up to a 2^-32
     bucket collision, which the fixed test corpus doesn't hit (the verify
-    filter absorbs near-misses either way)."""
+    filter absorbs near-misses either way). ``pair_cond`` selects which
+    (a, b) band collisions become candidates (self-dedup by default;
+    d8 restricts it to corpus×batch)."""
     perm_mins = ",\n             ".join(
         f"min((x * {_MH_A[i]} + {_MH_B[i]}) % {_MH_PRIME}) AS m{i}"
         for i in range(N_PERM)
@@ -337,7 +343,7 @@ def _d3_oracle() -> str:
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.k = b.k AND {pair_cond}
     ), jac AS (
       SELECT c.id_a, c.id_b,
              len(list_intersect(sa.sh, sb.sh)) AS inter,
@@ -346,21 +352,16 @@ def _d3_oracle() -> str:
       JOIN shlist sa ON sa.doc_id = c.id_a
       JOIN shlist sb ON sb.doc_id = c.id_b
     )
-    SELECT id_a, id_b, round(inter * 1.0 / uni, 4) AS jaccard
+    SELECT id_a AS {a_name}, id_b AS {b_name},
+           round(inter * 1.0 / uni, 4) AS jaccard
     FROM jac WHERE inter * 1.0 / uni >= 0.35
     """
 
 
-@query("d3_minhash_lsh", _d3_oracle())
-def d3_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → 32-perm minhash signature (JVM
-    column math, no UDF — see minhash_signatures_df) → 8 bands of 4 →
-    band-bucket self-join for candidates → exact shingle-Jaccard verify
-    ≥ 0.35. The band join is the only shuffle; at 10^10 docs each band
-    bucket is tiny, so no quadratic blowup."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures_df(d)
-    bands = sigs.select(
+def _minhash_bands(sigs):
+    """(doc_id, band, bucket) rows: the N_PERM signature columns grouped
+    into N_BANDS bands of BAND_SIZE, bucket = JVM hash of the band tuple."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -379,21 +380,12 @@ def d3_minhash_lsh(spark, sf_dir):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
 
-    # exact verify on shingle sets (candidates only)
-    sh = d.select(
+
+def _shingle_sets(d):
+    """(doc_id, sh): the distinct SHINGLE_W-token shingle set per document,
+    for the exact Jaccard verify on candidates."""
+    return d.select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -407,17 +399,91 @@ def d3_minhash_lsh(spark, sf_dir):
             )
         ).alias("sh"),
     )
-    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+
+
+def _jaccard_verify(cand, sh, a_name: str, b_name: str, thresh: float = 0.35):
+    """Exact shingle-Jaccard on candidate pairs only; emits
+    (a_name, b_name, jaccard) with jaccard >= thresh."""
+    sha = sh.select(F.col("doc_id").alias(a_name), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias(b_name), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter * 1.0 / union
     return (
-        cand.join(sha, "id_a")
-        .join(shb, "id_b")
-        .filter(jac >= 0.35)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        cand.join(sha, a_name)
+        .join(shb, b_name)
+        .filter(jac >= thresh)
+        .select(a_name, b_name, F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query("d3_minhash_lsh", _d3_oracle())
+def d3_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → 32-perm minhash signature (JVM
+    column math, no UDF — see minhash_signatures_df) → 8 bands of 4 →
+    band-bucket self-join for candidates → exact shingle-Jaccard verify
+    ≥ 0.35. The band join is the only shuffle; at 10^10 docs each band
+    bucket is tiny, so no quadratic blowup."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = _minhash_bands(minhash_signatures_df(d))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return _jaccard_verify(cand, _shingle_sets(d), "id_a", "id_b")
+
+
+D8_BATCH_MOD = 5  # batch = doc_id % 5 == 0 — "today's arrivals"
+
+
+@query(
+    "d8_incremental_minhash",
+    _d3_oracle(
+        pair_cond=(
+            f"a.doc_id % {D8_BATCH_MOD} <> 0 AND b.doc_id % {D8_BATCH_MOD} = 0"
+        ),
+        a_name="corpus_id",
+        b_name="batch_id",
+    ),
+)
+def d8_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup: dedup an arriving batch against the existing
+    corpus WITHOUT re-pairing the corpus with itself — the production shape
+    for a training-data pipeline that ingests daily. The corpus signatures
+    model a precomputed signature store (at scale: a bucketed table written
+    once, only the batch side is computed per run); candidates come from a
+    corpus-bands ⋈ batch-bands equi-join, so per-run work is
+    O(batch · bucket-occupancy), independent of corpus size. Exact
+    shingle-Jaccard verify on candidates only, same as d3."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_batch = F.col("doc_id") % D8_BATCH_MOD == 0
+    corpus_bands = _minhash_bands(
+        minhash_signatures_df(d.filter(~is_batch))
+    ).alias("a")
+    batch_bands = _minhash_bands(
+        minhash_signatures_df(d.filter(is_batch))
+    ).alias("b")
+    cand = (
+        corpus_bands.join(
+            batch_bands,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("corpus_id"),
+            F.col("b.doc_id").alias("batch_id"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(cand, _shingle_sets(d), "corpus_id", "batch_id")
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,161 @@ N_PROBE = 4
 _KMEANS_ITERS = 5
 
 
+def hyperplanes(n_planes: int, dim: int = 64) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed) shared by the UDF, the
+    tests, and the SQL-literal oracle generator below."""
+    rs = np.random.RandomState(_PLANE_SEED)
+    return rs.randn(n_planes, dim).astype(np.float64)
+
+
+def planes_for_corpus(n_vectors: int, target_bucket: int = 32) -> int:
+    """Bucket count sized to the corpus: 2^planes ≈ n/target_bucket, so
+    expected bucket occupancy stays ~constant as the corpus grows."""
+    import math
+
+    return max(3, min(24, int(math.log2(max(2, n_vectors / target_bucket)))))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the approximate ANN queries.
+#
+# Both algorithms are fully deterministic (fixed plane seed / fixed sample
+# order / fixed iteration count), so the "approximate" search is still an
+# exact function of the input and can be value-hash-checked — the oracle
+# replicates the algorithm, not just its intent. The hyperplane matrix is
+# inlined as SQL literals (float repr is shortest-round-trip, so DuckDB
+# parses back the identical double); the IVF sample order reuses the
+# murmur3-for-BIGINT SQL from sqlmurmur (Spark hash() bit parity).
+# ---------------------------------------------------------------------------
+
+_MAX_LSH_PLANES = 24  # planes_for_corpus clamps to [3, 24]
+
+
+def _planes_sql_rows(n: int) -> str:
+    """VALUES rows ``(pid, plane DOUBLE[])`` for hyperplanes(n). Relies on
+    RandomState.randn's prefix property — hyperplanes(k) == hyperplanes(n)[:k]
+    for k <= n — asserted in tests so a numpy change breaks loudly."""
+    mat = hyperplanes(n)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(mat)
+    )
+    return rows
+
+
+def _lsh_oracle_sql() -> str:
+    """ann_lsh_bucketed replicated in SQL: n_planes from count(*) (same
+    clamp/trunc as planes_for_corpus), sign-of-dot-product bucket bits over
+    the inlined planes, multi-probe = own bucket + every 1-bit flip, exact
+    cosine top-k inside probed buckets."""
+    return f"""
+    WITH params AS (
+      SELECT greatest(3, least({_MAX_LSH_PLANES},
+               CAST(trunc(log2(greatest(2.0, count(*) / 32.0))) AS INT))) AS np
+      FROM embeddings
+    ),
+    planes(pid, plane) AS (VALUES {_planes_sql_rows(_MAX_LSH_PLANES)}),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    buck AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.emb, p.plane) > 0
+                           THEN 1::BIGINT << p.pid ELSE 0 END) AS INT) AS bucket
+      FROM emb e, params, planes p
+      WHERE p.pid < params.np
+      GROUP BY e.vec_id
+    ),
+    probes AS (
+      SELECT b.vec_id AS query_id,
+             unnest([b.bucket] || list_transform(range(0, params.np),
+                    i -> CAST(xor(b.bucket::BIGINT, 1::BIGINT << i) AS INT))) AS qb
+      FROM buck b, params
+      WHERE b.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, v.vec_id,
+             list_cosine_similarity(qe.emb, ve.emb) AS cos_sim,
+             row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(qe.emb, ve.emb) DESC,
+                          v.vec_id) AS rn
+      FROM probes p
+      JOIN buck v ON v.bucket = p.qb AND v.vec_id <> p.query_id
+      JOIN emb qe ON qe.vec_id = p.query_id
+      JOIN emb ve ON ve.vec_id = v.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor, round(cos_sim, 4) AS cos_sim
+    FROM scored WHERE rn <= {TOP_K}
+    """
+
+
+def _ivf_oracle_sql() -> str:
+    """ann_ivf replicated in SQL: sample = first 512 rows by
+    (murmur3(vec_id), vec_id); centroid init = first N_CENTROIDS sample
+    rows; _KMEANS_ITERS unrolled assign/update CTE pairs (argmin ties break
+    to the lowest cid, exactly numpy argmin; empty cells keep their old
+    centroid via COALESCE); corpus assigned to nearest final centroid;
+    queries probe their N_PROBE nearest cells; exact cosine top-k."""
+    from spider_spark.operators.sqlmurmur import hashlong_aliases
+
+    iters = []
+    for k in range(_KMEANS_ITERS):
+        iters.append(f"""
+    asg{k} AS (
+      SELECT s.sid, s.emb, c.cid AS cell
+      FROM sample s CROSS JOIN cent{k} c
+      QUALIFY row_number() OVER (PARTITION BY s.sid
+          ORDER BY list_distance(s.emb, c.cent), c.cid) = 1
+    ),
+    cent{k + 1} AS (
+      SELECT c.cid, coalesce(m.cent, c.cent) AS cent
+      FROM cent{k} c LEFT JOIN (
+        SELECT cell, list(avgv ORDER BY i) AS cent FROM (
+          SELECT a.cell, dims.i, avg(a.emb[dims.i]) AS avgv
+          FROM asg{k} a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+          GROUP BY a.cell, dims.i
+        ) GROUP BY cell
+      ) m ON m.cell = c.cid
+    )""")
+    last = f"cent{_KMEANS_ITERS}"
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    hashed AS (
+      SELECT vec_id, emb, {hashlong_aliases("vec_id", "42", "mmh", "h")}
+      FROM emb
+    ),
+    sample AS (
+      SELECT vec_id, emb,
+             row_number() OVER (ORDER BY mmh, vec_id) - 1 AS sid
+      FROM hashed ORDER BY mmh, vec_id LIMIT 512
+    ),
+    cent0 AS (SELECT sid AS cid, emb AS cent FROM sample WHERE sid < {N_CENTROIDS}),
+    {",".join(iters)},
+    assign AS (
+      SELECT e.vec_id, e.emb, c.cid AS cell
+      FROM emb e CROSS JOIN {last} c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY list_distance(e.emb, c.cent), c.cid) = 1
+    ),
+    qprobe AS (
+      SELECT q.vec_id AS query_id, q.emb AS qe, c.cid AS probe_cell
+      FROM emb q CROSS JOIN {last} c
+      WHERE q.vec_id < {N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY list_distance(q.emb, c.cent), c.cid) <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, v.vec_id,
+             list_cosine_similarity(p.qe, v.emb) AS cos_sim,
+             row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(p.qe, v.emb) DESC,
+                          v.vec_id) AS rn
+      FROM qprobe p JOIN assign v
+        ON v.cell = p.probe_cell AND v.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id AS neighbor, round(cos_sim, 4) AS cos_sim
+    FROM scored WHERE rn <= {TOP_K}
+    """
+
+
 def train_ivf_centroids(sample: np.ndarray, k: int = N_CENTROIDS) -> np.ndarray:
     """Deterministic mini k-means for the IVF coarse quantizer: init = the
     first k sample rows (sample is taken in vec_id order), fixed iteration
@@ -95,7 +250,7 @@ def train_ivf_centroids(sample: np.ndarray, k: int = N_CENTROIDS) -> np.ndarray:
     return cent
 
 
-@query("ann_ivf")  # k-means quantizer not SQL-expressible → rows-only
+@query("ann_ivf", _ivf_oracle_sql())
 def ann_ivf(spark, sf_dir):
     """IVF ANN: k-means coarse quantizer (driver-trained on an id-ordered
     sample, broadcast), vectors assigned to nearest centroid by a numpy
@@ -167,22 +322,7 @@ def ann_ivf(spark, sf_dir):
     )
 
 
-def hyperplanes(n_planes: int, dim: int = 64) -> np.ndarray:
-    """Deterministic random hyperplanes (fixed seed) shared by the UDF and
-    the tests."""
-    rs = np.random.RandomState(_PLANE_SEED)
-    return rs.randn(n_planes, dim).astype(np.float64)
-
-
-def planes_for_corpus(n_vectors: int, target_bucket: int = 32) -> int:
-    """Bucket count sized to the corpus: 2^planes ≈ n/target_bucket, so
-    expected bucket occupancy stays ~constant as the corpus grows."""
-    import math
-
-    return max(3, min(24, int(math.log2(max(2, n_vectors / target_bucket)))))
-
-
-@query("ann_lsh_bucketed")  # hyperplane signs not SQL-expressible → rows-only
+@query("ann_lsh_bucketed", _lsh_oracle_sql())
 def ann_lsh_bucketed(spark, sf_dir):
     """LSH-bucketed ANN: sign-of-hyperplane-projection bucket id
     (vectorized numpy UDF) with plane count sized to the corpus; queries

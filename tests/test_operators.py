@@ -49,7 +49,12 @@ def test_pairwise_plans_never_cartesian(spark, sf_dir):
     """The dedup/similarity pair generators must stay blocked/broadcast —
     an unblocked cartesian over the corpus would be a 10^20-row plan at
     target scale."""
-    for name in ("d2_token_jaccard", "d5_embedding_neardup", "d4_simhash"):
+    for name in (
+        "d2_token_jaccard",
+        "d5_embedding_neardup",
+        "d4_simhash",
+        "d8_incremental_minhash",
+    ):
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -85,6 +90,21 @@ def test_ann_variants_against_bruteforce(spark, sf_dir):
         # nontrivial recall of the exact top-k
         recall = len(set(got) & set(exact)) / len(exact)
         assert recall >= 0.15, (variant, recall)
+
+
+def test_hyperplane_prefix_property():
+    """The LSH oracle inlines hyperplanes(24) and slices to n_planes in SQL,
+    which is only valid if hyperplanes(k) == hyperplanes(n)[:k] — numpy's
+    RandomState fills randn row-major from one Gaussian stream. Pin that so
+    a numpy/behavior change breaks loudly here, not as an oracle mismatch."""
+    import numpy as np
+
+    from spider_spark.operators.similarity import _MAX_LSH_PLANES, hyperplanes
+
+    full = hyperplanes(_MAX_LSH_PLANES)
+    for k in (3, 12, _MAX_LSH_PLANES):
+        assert np.array_equal(hyperplanes(k), full[:k])
+    assert np.array_equal(hyperplanes(128)[:_MAX_LSH_PLANES], full)
 
 
 def test_murmur_fingerprint_parity(spark, sf_dir):
