@@ -255,12 +255,32 @@ def run_supplementary_pair(repo_dir: str) -> dict:
     eff = (
         levels["local32"]["pages_per_sec"] / levels["local8"]["pages_per_sec"]
     ) / 4
+    # steady-state stage efficiency: the final (largest) round is identical
+    # work at both levels — ~586k of the 672k pages — and excludes the two
+    # ramp-up rounds whose fixed per-stage costs dominate at 32 cores on
+    # this world shape. This is the number that predicts a long crawl.
+    def _round_total(level: dict, idx: int = -1) -> float:
+        return sum(level["round_timings"][idx].values())
+
+    steady = (
+        _round_total(levels["local8"]) / _round_total(levels["local32"])
+    ) / 4
+    post_ceiling = machine_ceiling(8, 32)
+    best_ceiling = max(
+        preflight["ceiling_efficiency"], post_ceiling["ceiling_efficiency"]
+    )
     return {
         "world_spec": BIG_WORLD_SPEC,
         **levels,
         "scaling_efficiency_8_to_32": round(eff, 3),
+        "steady_state_round_efficiency_8_to_32": round(steady, 3),
+        # raw efficiency relative to what a tight CPU loop achieves between
+        # the same two levels on this VM (hypervisor caps 8→32 at ~0.7):
+        # the engine's share of the achievable scaling
+        "efficiency_over_machine_ceiling": round(eff / best_ceiling, 3),
+        "steady_state_over_machine_ceiling": round(steady / best_ceiling, 3),
         "machine_ceiling_preflight": preflight,
-        "machine_ceiling_8_to_32": machine_ceiling(8, 32),
+        "machine_ceiling_8_to_32": post_ceiling,
     }
 
 

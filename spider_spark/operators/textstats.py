@@ -8,6 +8,7 @@ the crawl lands pages (extract_text output ≙ documents.text).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -380,3 +381,160 @@ def t7_murmur_fingerprint(spark, sf_dir):
 def murmur_fingerprint_py(text: str) -> int:
     """Driver/oracle-side twin of t7 (parity tested)."""
     return murmur3_32(text)
+
+
+DECON_N = 4  # n-gram width; 13 in the published recipe, 4 fits the fixture's
+# 10-99-token docs (non-degenerate hit counts at sf0.01) while keeping the
+# operator shape identical
+
+_T9_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, len(toks) - {DECON_N - 1}),
+               i -> array_to_string(
+                      list_slice(toks, (i + 1)::INT, (i + {DECON_N})::INT),
+                      ' ')))) AS gram
+      FROM w),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       count(*)                                        AS n_grams,
+       count(ev.gram)                                  AS n_hits,
+       round(count(ev.gram) * 1.0 / count(*), 4)       AS contamination,
+       count(ev.gram) > 0                              AS contaminated
+FROM g LEFT JOIN ev ON g.gram = ev.gram
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@query("t9_decontaminate", _T9_ORACLE)
+def t9_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/PaLM recipe, Brown et al. 2020
+    appendix C, public): flag training documents sharing any word n-gram
+    with an eval set. The eval set here is the deterministic doc_id%97==0
+    slice of `documents` (a stand-in for a benchmark suite's text).
+
+    Scale shape: eval suites are tiny relative to a 100 TB corpus, so the
+    distinct eval-gram set is a broadcast — the train side never shuffles
+    on the gram; the only wide exchange is the per-doc aggregation on
+    doc_id. At real scale the gram string would be xxhash64-ed before the
+    join to cut exchange width (kept as the string here so the DuckDB
+    oracle is byte-exact)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= DECON_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, DECON_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    ev = (
+        g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = g.filter(F.col("doc_id") % 97 != 0)
+    agg = train.join(F.broadcast(ev), "gram", "left").groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits") * 1.0 / F.col("n_grams"), 4).alias(
+            "contamination"
+        ),
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )
+
+
+_T11_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term, tf * (n - df + 0.5) / (df + 0.5) AS score
+      FROM d, n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM s)
+SELECT doc_id, term, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
+FROM r WHERE rk <= 3
+"""
+
+
+@query("t11_tfidf_topk", _T11_ORACLE)
+def t11_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf, with the log-free
+    Robertson–Sparck-Jones idf (tf·(N−df+0.5)/(df+0.5), public BM25
+    lineage): rational arithmetic over exact integers is correctly rounded
+    and therefore bit-identical across engines, where ln() (libm vs
+    java.lang.Math) can drift a ULP and flip near-tie rankings.
+
+    Scale shape: document frequency is a vocabulary-sized aggregate over tf
+    (map-side partials absorb hot stopwords) joined back by BROADCAST — the
+    corpus-sized tf side never shuffles on the skewed term key (a term-
+    partitioned window would hot-spot on stopwords, and AQE cannot split a
+    window partition). tf's (doc_id, term) exchange is structurally
+    identical in both branches, so Catalyst's exchange reuse serves the df
+    branch from the same shuffle. Ranking re-partitions by doc_id (evenly
+    distributed); the corpus-size scalar N is a broadcast 1-row cross
+    join."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    score = (
+        F.col("tf") * (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "rk", F.round("score", 4).alias("score"))
+    )
+
+
+_T10_ORACLE = f"""
+WITH h AS (SELECT doc_id, lang,
+                  {sqlmurmur.hashlong_aliases("doc_id", "42", "mmh", "t10")}
+           FROM documents)
+SELECT doc_id, lang,
+       CAST(((mmh % 100) + 100) % 100 AS BIGINT) AS bucket
+FROM h
+WHERE ((mmh % 100) + 100) % 100 <
+      CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 10 ELSE 25 END
+"""
+
+
+@query("t10_hash_sample", _T10_ORACLE)
+def t10_hash_sample(spark, sf_dir):
+    """Stratified deterministic sampling for corpus mixing: keep a per-
+    language rate (en 50 %, zh 10 %, others 25 %) by bucketing Spark's
+    murmur3 hash(doc_id) mod 100 — reproducible across runs and clusters,
+    no RNG state, no sort. A pure filter over the scan (no shuffle, no
+    sample() nondeterminism); the DuckDB oracle replays the exact murmur
+    arithmetic via sqlmurmur.hashlong_aliases."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.hash("doc_id"), F.lit(100)).cast("long")
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 10)
+        .otherwise(25)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("_r"))
+        .filter(F.col("bucket") < F.col("_r"))
+        .drop("_r")
+    )

@@ -24,6 +24,37 @@ def test_query_matches_oracle(spark, sf_dir, name):
         assert rows1 == rows2
 
 
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """t9's eval-gram join must broadcast the (tiny) eval side — the train
+    corpus must never shuffle on the gram key."""
+    plan = (
+        QUERIES["t9_decontaminate"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """t11 must broadcast the vocabulary-df aggregate — the corpus-sized tf
+    side must never sort-merge (i.e. shuffle) on the skew-prone term key."""
+    plan = (
+        QUERIES["t11_tfidf_topk"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_sample_is_scan_plus_filter(spark, sf_dir):
+    """t10 must be a pure map over the scan: no exchange anywhere."""
+    plan = (
+        QUERIES["t10_hash_sample"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_projection_pruning_reaches_scan(spark, sf_dir):
     """p1 must read only the 5 needed columns and push the p_size filter."""
     plan = QUERIES["p1_project_rename"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
