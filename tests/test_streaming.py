@@ -76,3 +76,103 @@ def test_streaming_plan_has_watermark(spark, sf_dir):
     agg = tumbling_counts_stream(stream)
     assert agg.isStreaming
     assert "EventTimeWatermark" in agg._jdf.queryExecution().logical().toString()
+
+
+def test_incremental_dedup_stream(spark, sf_dir, tmp_path):
+    """Streaming d8 (foreachBatch vs a growing signature store): the
+    accumulated pair table must equal the static corpus-vs-batch dedup
+    replayed over the same batch assignment, and a resumed run must process
+    only new files (exactly-once)."""
+    from spider_spark.operators.dedup import (
+        _jaccard_verify,
+        _minhash_bands,
+        _shingle_sets,
+        minhash_signatures_df,
+    )
+    from spider_spark.streaming.dedup_stream import run_dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs_dir = tmp_path / "doc_batches"
+    docs_dir.mkdir()
+    work = str(tmp_path / "work")
+    import glob
+    import shutil
+    import time
+
+    def _write_one_file(df, name):
+        tmpd = tmp_path / f"_w_{name}"
+        df.coalesce(1).write.parquet(str(tmpd))
+        shutil.move(
+            glob.glob(str(tmpd / "part-*.parquet"))[0], docs_dir / name
+        )
+        shutil.rmtree(tmpd)
+
+    for k in range(3):
+        _write_one_file(
+            docs.filter(F.col("doc_id") % 3 == k), f"ingest_{k}.parquet"
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic arrival order
+
+    out1 = run_dedup_stream(spark, str(docs_dir), work).collect()
+
+    # observed batch assignment from the store (robust to source ordering)
+    import os
+
+    store_sh = os.path.join(work, "store", "shingles")
+    batch_of = {}
+    for e in os.listdir(store_sh):
+        bid = int(e.split("=")[1])
+        for r in spark.read.parquet(os.path.join(store_sh, e)).select(
+            "doc_id"
+        ).collect():
+            batch_of[r.doc_id] = bid
+    assert len(batch_of) == docs.count()
+
+    # static replay: for each batch, corpus = all strictly-earlier batches
+    assign = spark.createDataFrame(
+        [(d, b) for d, b in batch_of.items()], "doc_id long, b int"
+    )
+    tagged = docs.join(assign, "doc_id")
+    expected = set()
+    for k in sorted({b for b in batch_of.values()}):
+        corpus = tagged.filter(F.col("b") < k).drop("b")
+        batch = tagged.filter(F.col("b") == k).drop("b")
+        if corpus.rdd.isEmpty() or batch.rdd.isEmpty():
+            continue
+        cand = (
+            _minhash_bands(minhash_signatures_df(corpus)).alias("a")
+            .join(
+                _minhash_bands(minhash_signatures_df(batch)).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .select(
+                F.col("a.doc_id").alias("corpus_id"),
+                F.col("b.doc_id").alias("batch_id"),
+            )
+            .distinct()
+        )
+        sh = _shingle_sets(tagged.drop("b"))
+        for r in _jaccard_verify(cand, sh, "corpus_id", "batch_id").collect():
+            expected.add((r.corpus_id, r.batch_id, r.jaccard))
+
+    got = {(r.corpus_id, r.batch_id, r.jaccard) for r in out1}
+    assert got == expected
+    assert len(got) > 0, "fixture must yield cross-batch near-dup pairs"
+
+    # resume: add one new file; only it is processed, old pairs unchanged
+    extra = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    _write_one_file(extra, "ingest_3.parquet")
+    out2 = run_dedup_stream(spark, str(docs_dir), work)
+    old = {(r.corpus_id, r.batch_id, r.jaccard) for r in out2.filter(
+        F.col("batch_id") < 100000
+    ).collect()}
+    assert old == got  # exactly-once: earlier batches not re-deduped
+    new_pairs = out2.filter(F.col("batch_id") >= 100000)
+    # the new file duplicates batch-0 docs verbatim → every new doc pairs
+    # with its jaccard-1.0 original
+    assert new_pairs.filter(F.col("jaccard") == 1.0).count() >= extra.count()
