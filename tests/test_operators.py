@@ -408,3 +408,92 @@ def test_frame_sample_matches_per_row_semantics(spark):
             frame = payload[off : off + 64]
             want.add((doc_id, i, frame, murmur3_32(frame)))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_decontaminate_matches_python_reference(spark, tmp_path, seed):
+    """t9 on random corpora (incl. docs shorter than the n-gram width) must
+    equal a set-based pure-Python reference."""
+    import numpy as np
+
+    from spider_spark.operators import QUERIES
+    from spider_spark.operators.textstats import DECON_N
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → natural collisions
+    rows = []
+    for doc_id in range(300):
+        n = int(rng.randint(1, 30))
+        rows.append((doc_id, " ".join(rng.choice(vocab, size=n))))
+    d = tmp_path / f"corpus{seed}"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    def grams(text):
+        t = text.split(" ")
+        if len(t) < DECON_N:
+            return set()
+        return {
+            " ".join(t[i : i + DECON_N]) for i in range(len(t) - DECON_N + 1)
+        }
+
+    ev = set().union(*(grams(t) for i, t in rows if i % 97 == 0))
+    expected = {}
+    for doc_id, text in rows:
+        g = grams(text)
+        if doc_id % 97 == 0 or not g:
+            continue
+        expected[doc_id] = (len(g), len(g & ev))
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits)
+        for r in QUERIES["t9_decontaminate"](spark, str(d)).collect()
+    }
+    assert got == expected
+    assert any(h for _, h in expected.values()), "seeded corpus must collide"
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_tfidf_matches_python_reference(spark, tmp_path, seed):
+    """t11 on random corpora must equal a pure-Python tf-idf reference —
+    same IEEE arithmetic, so ranking and rounded scores match exactly."""
+    from collections import Counter
+
+    import numpy as np
+
+    from spider_spark.operators import QUERIES
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (doc_id, " ".join(rng.choice(vocab, size=int(rng.randint(1, 25)))))
+        for doc_id in range(200)
+    ]
+    d = tmp_path / f"tfidf{seed}"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    n_docs = len(rows)
+    tf = {i: Counter(t.split(" ")) for i, t in rows}
+    df = Counter(term for c in tf.values() for term in c)
+    expected = set()
+    for doc_id, c in tf.items():
+        scored = sorted(
+            (
+                (term, cnt * (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+                for term, cnt in c.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for rk, (term, s) in enumerate(scored[:3], start=1):
+            expected.add((doc_id, term, rk, round(s, 4)))
+
+    got = {
+        (r.doc_id, r.term, r.rk, r.score)
+        for r in QUERIES["t11_tfidf_topk"](spark, str(d)).collect()
+    }
+    assert got == expected
