@@ -174,7 +174,7 @@ def scaling_bench(world_dir: str, work_dir: str, n_small: int = 8, n_big: int = 
 
 
 def wait_for_quiet_host(
-    n_small: int = 2, n_big: int = 8, target: float = 0.9,
+    n_small: int = 2, n_big: int = 8, target: float = 0.82,
     max_tries: int = 6, wait_s: float = 60.0,
 ) -> dict:
     """Pre-flight gate: probe the machine ceiling and, if the host cannot
@@ -183,7 +183,12 @@ def wait_for_quiet_host(
     multi-minute windows), wait and re-probe up to ``max_tries`` times.
     Proceeds regardless after the budget and returns the last probe, which
     is recorded next to the engine efficiency so a throttled window is
-    visible in the artifact."""
+    visible in the artifact.
+
+    The gated quantity is min(cpu, membw) ceiling. Idle-host readings on
+    this VM: 2→8 cpu ≈ 0.96, membw ≈ 0.87 (hence the 0.82 default target
+    — just under the structural membw ceiling); 8→32 cpu ≈ 0.69,
+    membw ≈ 0.44 (callers at that pair must pass a target below 0.44)."""
     import time as _t
 
     probe = machine_ceiling(n_small, n_big)
@@ -197,27 +202,39 @@ def wait_for_quiet_host(
 
 
 def machine_ceiling(n_small: int = 2, n_big: int = 8) -> dict:
-    """Tight-CPU-loop multiprocessing scaling of THIS machine — the upper
-    bound any job can reach between the two parallelism levels. Shared-VM
-    CPU throttling shows up here, separating hardware ceiling from engine
-    overhead in the reported efficiency."""
+    """Multiprocessing scaling ceiling of THIS machine between the two
+    parallelism levels — the upper bound any job can reach. Two probes:
+    a tight CPU loop (cache-resident integer math) and a streaming
+    memory-bandwidth loop (numpy array traversal). The crawl's hot path
+    (html parse over ~8 KB pages in python workers) is memory-heavy, and a
+    shared-VM window has been observed where the CPU probe read 0.89+
+    while the crawl pair measured 0.58 — bandwidth contention is invisible
+    to the integer loop, so both are probed and the gate takes the min."""
     import multiprocessing as mp
     import time as _t
 
-    def _run(nproc: int) -> float:
+    def _run(fn, arg, nproc: int) -> float:
         t0 = _t.time()
         with mp.Pool(nproc) as p:
-            p.map(_burn, [8_000_000] * nproc)
+            p.map(fn, [arg] * nproc)
         return _t.time() - t0
 
-    _run(n_small)  # warm
-    t_small = min(_run(n_small) for _ in range(2))
-    t_big = min(_run(n_big) for _ in range(2))
+    _run(_burn, 8_000_000, n_small)  # warm (pool spawn + import cost)
+    t_small = min(_run(_burn, 8_000_000, n_small) for _ in range(2))
+    t_big = min(_run(_burn, 8_000_000, n_big) for _ in range(2))
+    m_small = min(_run(_burn_mem, 100_000_000, n_small) for _ in range(2))
+    m_big = min(_run(_burn_mem, 100_000_000, n_big) for _ in range(2))
+    cpu_eff = round(t_small / t_big, 3)
+    mem_eff = round(m_small / m_big, 3)
     # constant work per proc: ideal t_big == t_small
     return {
         f"tightloop_sec_{n_small}p": round(t_small, 2),
         f"tightloop_sec_{n_big}p": round(t_big, 2),
-        "ceiling_efficiency": round(t_small / t_big, 3),
+        f"membw_sec_{n_small}p": round(m_small, 2),
+        f"membw_sec_{n_big}p": round(m_big, 2),
+        "cpu_ceiling_efficiency": cpu_eff,
+        "membw_ceiling_efficiency": mem_eff,
+        "ceiling_efficiency": min(cpu_eff, mem_eff),
     }
 
 
@@ -225,6 +242,19 @@ def _burn(n: int) -> int:
     s = 0
     for i in range(n):
         s += i * i % 7
+    return s
+
+
+def _burn_mem(n_bytes: int) -> int:
+    """Streaming memory traffic (~0.7 GB moved per call): int64 sum +
+    in-place add over a 100 MB array, 3 passes."""
+    import numpy as np
+
+    a = np.arange(n_bytes // 8, dtype=np.int64)
+    s = 0
+    for _ in range(3):
+        s += int(a.sum())
+        a += 1
     return s
 
 
@@ -237,11 +267,12 @@ def run_supplementary_pair(repo_dir: str) -> dict:
         os.path.join(repo_dir, ".bench_cache", "world_big_v1"), BIG_WORLD_SPEC
     )
     work = os.path.join(repo_dir, ".bench_cache", "work_big")
-    # this VM's 8→32 tight-loop ceiling is structurally ~0.7 (hypervisor
-    # cap: 32p tight loops run ~1.4× slower per-proc than 8p in every
-    # window probed) — the gate can only filter out worse-than-usual
-    # windows, not wait for a 0.9 that the hardware never grants
-    preflight = wait_for_quiet_host(8, 32, target=0.72)
+    # this VM's 8→32 ceiling is structural: tight-loop cpu ~0.69 and
+    # streaming memory bandwidth ~0.44 on an IDLE host (hypervisor cap) —
+    # the gate can only filter out worse-than-usual windows, not wait for
+    # a 0.9 that the hardware never grants. Target sits just under the
+    # idle membw reading since the gate takes min(cpu, membw).
+    preflight = wait_for_quiet_host(8, 32, target=0.42)
     samples: dict[int, list[dict]] = {8: [], 32: []}
     for cores in (8, 32, 32, 8):
         samples[cores].append(_run_level_subprocess(cores, world, work))
