@@ -927,3 +927,80 @@ def d7_neardup_clusters(spark, sf_dir):
     labels.unpersist()
     edges.unpersist()
     return out
+
+
+_D9_ORACLE = """
+WITH ex AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(list_slice(string_split(text, ' '),
+                                    CAST(i*8+1 AS BIGINT),
+                                    CAST(i*8+8 AS BIGINT)), ' ') AS para
+  FROM documents,
+       UNNEST(range(0, CAST(ceil(len(string_split(text, ' '))/8.0)
+                             AS BIGINT))) AS t(i)
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+        FROM ex GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, chunk_idx, para FROM (
+    SELECT doc_id, chunk_idx, para,
+           row_number() OVER (PARTITION BY para
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM ex) WHERE rn = 1
+)
+SELECT k.doc_id,
+       string_agg(k.para, ' ' ORDER BY k.chunk_idx) AS clean_text,
+       CAST(count(*) AS BIGINT)                     AS n_kept,
+       any_value(t.n_total)                         AS n_total
+FROM kept k JOIN tot t USING (doc_id)
+GROUP BY k.doc_id
+"""
+
+
+@query("d9_paragraph_dedup", _D9_ORACLE)
+def d9_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup, CCNet-style: split each document into
+    paragraph units (fixed 8-word chunks here — the synthetic corpus has no
+    newlines; a real corpus splits on '\\n'), keep only the corpus-wide
+    FIRST occurrence of each distinct paragraph (order: doc_id, position),
+    and reassemble documents from their surviving paragraphs.
+
+    Scale shape: first-occurrence selection is a groupBy(para).min(struct)
+    — map-side combinable, so a boilerplate paragraph repeated 10^8 times
+    across the corpus collapses to one row per map partition before the
+    shuffle (a row_number window over para would ship every copy of the
+    hot key to one task instead). Reassembly shuffles once on doc_id.
+    Docs whose every paragraph appeared earlier elsewhere drop out
+    entirely, same as the oracle."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    ex = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(w)/8.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(w, i*8+1, 8)))"
+            )
+        ).alias("chunk_idx", "para"),
+    )
+    totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    kept = (
+        ex.groupBy("para")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("m.chunk_idx").alias("chunk_idx"), "para")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return reassembled.join(totals, "doc_id").select(
+        "doc_id", "clean_text", "n_kept", "n_total"
+    )

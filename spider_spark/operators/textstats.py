@@ -538,3 +538,95 @@ def t10_hash_sample(spark, sf_dir):
         .filter(F.col("bucket") < F.col("_r"))
         .drop("_r")
     )
+
+
+_T12_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+_T12_PHONE = "555-[0-9]+"
+
+_T12_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' ' || source || '.user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call 555-0' || (doc_id % 89)
+                 ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{_T12_EMAIL}', '<EMAIL>', 'g'),
+                      '{_T12_PHONE}', '<PHONE>', 'g')             AS redacted,
+       CAST(len(regexp_extract_all(t, '{_T12_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_T12_PHONE}')) AS BIGINT) AS n_phones
+FROM raw
+"""
+
+
+@query("t12_pii_redact", _T12_ORACLE)
+def t12_pii_redact(spark, sf_dir):
+    """PII redaction for a web-text corpus: replace email addresses and
+    phone-shaped tokens with placeholder tags and count the hits per doc.
+    The synthetic corpus contains no PII, so a deterministic contact
+    string is first appended to ~2/3 of the docs (emails) and 1/2 (phone
+    numbers) from (source, doc_id) — identically in both engines — and
+    the redaction runs over that mixed text. Pure regexp_replace /
+    regexp_count column expressions: stays in whole-stage codegen, no
+    UDF, no shuffle (a filter-free per-row map over the scan)."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit(" "), F.col("source"), F.lit(".user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" call 555-0"),
+                     (F.col("doc_id") % 89).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, _T12_EMAIL, "<EMAIL>"),
+            _T12_PHONE, "<PHONE>",
+        ).alias("redacted"),
+        F.regexp_count(raw, F.lit(_T12_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_T12_PHONE)).cast("long").alias("n_phones"),
+    )
+
+
+_T13_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT)                               AS n_docs,
+         round(avg(n_chars), 4)                                 AS avg_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT)      AS total_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, avg_chars, total_tokens,
+       CAST(ntile(3) OVER (ORDER BY avg_chars DESC, source) AS INT) AS tier
+FROM s
+"""
+
+
+@query("t13_source_tiers", _T13_ORACLE)
+def t13_source_tiers(spark, sf_dir):
+    """Crawl-tier assignment: aggregate per source (≙ host/domain in a live
+    crawl) and split sources into 3 quality tiers by average document
+    length — the host-tiering step a tiered recrawl policy feeds on
+    (tier 1 recrawled often, tier 3 rarely). The ntile window runs over
+    the per-source AGGREGATE (|hosts| rows, not the corpus), so the
+    single-partition window input is bounded by host cardinality; the
+    corpus-sized work is one map-side-combinable groupBy(source)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+    w = Window.orderBy(F.desc("avg_chars"), "source")
+    return s.withColumn("tier", F.ntile(3).over(w))

@@ -497,3 +497,39 @@ def test_tfidf_matches_python_reference(spark, tmp_path, seed):
         for r in QUERIES["t11_tfidf_topk"](spark, str(d)).collect()
     }
     assert got == expected
+
+
+def test_paragraph_dedup_has_no_window(spark, sf_dir):
+    """d9's first-occurrence selection must be a map-side-combinable
+    groupBy(para).min(struct), never a row_number window over para — a
+    boilerplate paragraph repeated 10^8 times corpus-wide would ship every
+    copy to a single window task."""
+    plan = (
+        QUERIES["d9_paragraph_dedup"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    # partial agg before the para-key shuffle (map-side combine)
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_pii_redact_is_scan_plus_map(spark, sf_dir):
+    """t12 is a per-row map — no shuffle anywhere in the plan."""
+    plan = (
+        QUERIES["t12_pii_redact"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_source_tiers_window_is_post_aggregate(spark, sf_dir):
+    """t13's global ntile window must run over the per-source aggregate
+    (|hosts| rows), not the corpus: exactly one Window, fed by a
+    HashAggregate."""
+    plan = (
+        QUERIES["t13_source_tiers"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 1
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
