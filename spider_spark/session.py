@@ -23,7 +23,14 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        if n == "*":
+            shuffle_partitions = cpus
+        elif "," in n:
+            # local-cluster[execs, cores-per-exec, mem-mb] → execs × cores
+            execs, cores = n.split(",")[:2]
+            shuffle_partitions = int(execs) * int(cores)
+        else:
+            shuffle_partitions = int(n)
     b = (
         SparkSession.builder.master(master)
         .appName(app)
