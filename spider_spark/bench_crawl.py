@@ -73,19 +73,49 @@ def ensure_world(cache_dir: str, spec: dict | None = None) -> str:
     return cache_dir
 
 
-def run_crawl_bench(cores: int, world_dir: str, work_dir: str) -> dict:
-    """One full crawl (fresh session on local[cores]) → throughput stats."""
+def _level_conf(level: int | str) -> tuple[str, int, str, dict]:
+    """(master, total_cores, label, extra spark conf) for a bench level.
+
+    int N → ``local[N]`` (N threads, one JVM — the thread-scaling pair).
+    ``"xN"`` → ``local-cluster[N,2,8192]`` (N executor processes × 2 cores,
+    each a SEPARATE JVM with its own heap, talking to the driver over RPC —
+    the literal 'N and 4N executors' shape of the north rule, as close as a
+    single box gets to changing cluster size)."""
+    if isinstance(level, str) and level.startswith("x"):
+        n_exec = int(level[1:])
+        master = f"local-cluster[{n_exec},2,8192]"
+        extra = {
+            "spark.executor.memory": "7g",
+            "spark.driver.memory": "8g",
+            # executor python workers are separate processes that do NOT
+            # inherit the driver's sys.path — ship the package path the way
+            # --py-files would (tests/test_cli.py proves the zip route)
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+        }
+        return master, 2 * n_exec, level, extra
+    cores = int(level)
+    # single-JVM local mode: heap must hold page batches × concurrent tasks
+    # without GC thrash
+    return f"local[{cores}]", cores, str(cores), {"spark.driver.memory": "48g"}
+
+
+def run_crawl_bench(level: int | str, world_dir: str, work_dir: str) -> dict:
+    """One full crawl (fresh session at the given level) → throughput
+    stats. ``level`` is local[N] cores or ``xN`` executor processes
+    (see _level_conf)."""
     from spider_spark.engine import CrawlEngine
     from spider_spark.session import get_spark
 
-    ckpt = os.path.join(work_dir, f"ckpt_{cores}")
+    master, cores, label, extra = _level_conf(level)
+    ckpt = os.path.join(work_dir, f"ckpt_{label}")
     shutil.rmtree(ckpt, ignore_errors=True)
     spark = get_spark(
-        app=f"crawl_bench_{cores}",
-        master=f"local[{cores}]",
+        app=f"crawl_bench_{label}",
+        master=master,
         shuffle_partitions=4 * cores,  # multi-wave tasks: straggler-tolerant
-        extra={"spark.driver.memory": "48g"},  # single-JVM local mode: heap
-        # must hold page batches × concurrent tasks without GC thrash
+        extra=extra,
     )
     try:
         eng = CrawlEngine(
@@ -112,7 +142,7 @@ def run_crawl_bench(cores: int, world_dir: str, work_dir: str) -> dict:
         ).limit(32 * cores).repartition(cores).select(
             canonicalize_udf("url").alias("u")
         ).write.mode("overwrite").parquet(
-            os.path.join(work_dir, f"warm_{cores}")
+            os.path.join(work_dir, f"warm_{label}")
         )
         # build the page-store cache outside the timed window: the store is
         # data at rest (≙ an Iceberg table bucketed+sorted by url; in a live
@@ -130,6 +160,7 @@ def run_crawl_bench(cores: int, world_dir: str, work_dir: str) -> dict:
         ]
         return {
             "cores": cores,
+            "master": master,
             "elapsed_sec": round(elapsed, 2),
             "pages_fetched": fetched,
             "rounds": meta["round"],
@@ -141,10 +172,13 @@ def run_crawl_bench(cores: int, world_dir: str, work_dir: str) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def _run_level_subprocess(cores: int, world_dir: str, work_dir: str) -> dict:
+def _run_level_subprocess(
+    cores: int | str, world_dir: str, work_dir: str
+) -> dict:
     """Each parallelism level gets its own JVM (a stopped local SparkContext
     leaves its JVM and heap settings behind in-process — subprocesses keep
-    the two measurements clean)."""
+    the two measurements clean). ``cores`` accepts the same level spec as
+    run_crawl_bench (int or ``xN``)."""
     import subprocess
     import sys
 
@@ -315,6 +349,48 @@ def run_supplementary_pair(repo_dir: str) -> dict:
     }
 
 
+def run_executor_pair(repo_dir: str) -> dict:
+    """The north rule's literal 'N and 4N executors' pair: the same crawl on
+    the standard bench world at local-cluster[1,2,8192] vs
+    local-cluster[4,2,8192] — 1 executor process vs 4 executor processes
+    (2 cores each), each executor a separate JVM with its own heap, shuffle
+    and broadcast crossing real process boundaries. Total cores are 2 and 8,
+    so the machine-ceiling instrument is the same 2→8 probe the thread pair
+    uses. Protocol identical to bench.py's headline pair: preflight
+    quiet-host gate, ABBA order, symmetric best-of-2, pre/post ceiling
+    probes recorded. Run via `python -m spider_spark.bench_crawl execpair`
+    → BENCH/scaling_exec_1_4.json."""
+    world = ensure_world(os.path.join(repo_dir, ".bench_cache", "world_v2"))
+    work = os.path.join(repo_dir, ".bench_cache", "work_exec")
+    preflight = wait_for_quiet_host(2, 8)
+    samples: dict[str, list[dict]] = {"x1": [], "x4": []}
+    for lv in ("x1", "x4", "x4", "x1"):
+        samples[lv].append(_run_level_subprocess(lv, world, work))
+    levels = {}
+    for lv, runs in samples.items():
+        best = min(runs, key=lambda r: r["elapsed_sec"])
+        levels[f"cluster_{lv}"] = {
+            **best,
+            "all_elapsed_sec": [r["elapsed_sec"] for r in runs],
+        }
+    eff = (
+        levels["cluster_x4"]["pages_per_sec"]
+        / levels["cluster_x1"]["pages_per_sec"]
+    ) / 4
+    post_ceiling = machine_ceiling(2, 8)
+    best_ceiling = max(
+        preflight["ceiling_efficiency"], post_ceiling["ceiling_efficiency"]
+    )
+    return {
+        "world_spec": WORLD_SPEC,
+        **levels,
+        "scaling_efficiency_1_to_4_executors": round(eff, 3),
+        "efficiency_over_machine_ceiling": round(eff / best_ceiling, 3),
+        "machine_ceiling_preflight": preflight,
+        "machine_ceiling_2_to_8": post_ceiling,
+    }
+
+
 if __name__ == "__main__":
     import sys
 
@@ -325,8 +401,18 @@ if __name__ == "__main__":
         with open(os.path.join(repo, "BENCH", "scaling_8_32.json"), "w") as f:
             json.dump(result, f, indent=2)
         print("RESULT " + json.dumps(result))
+    elif sys.argv[1] == "execpair":
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        result = run_executor_pair(repo)
+        os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+        with open(
+            os.path.join(repo, "BENCH", "scaling_exec_1_4.json"), "w"
+        ) as f:
+            json.dump(result, f, indent=2)
+        print("RESULT " + json.dumps(result))
     else:
-        cores_arg = int(sys.argv[1])
+        lv = sys.argv[1]
+        cores_arg: int | str = lv if lv.startswith("x") else int(lv)
         world = sys.argv[2]
         work = sys.argv[3]
         print("RESULT " + json.dumps(run_crawl_bench(cores_arg, world, work)))
