@@ -1004,3 +1004,196 @@ def d9_paragraph_dedup(spark, sf_dir):
     return reassembled.join(totals, "doc_id").select(
         "doc_id", "clean_text", "n_kept", "n_total"
     )
+
+
+# ---------------------------------------------------------------------------
+# d10: exact duplicate-substring spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr variant,
+# re-expressed for Spark: the paper's suffix array is a single-machine
+# structure; the distributed equivalent is shingle-grain duplicate
+# detection + per-doc interval merge).
+
+_D10_K = 6  # span grain in tokens (the paper uses 50 BPE tokens; the
+# synthetic corpus is ~54 tokens/doc, so 6 keeps spans sub-document)
+
+_D10_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(list_slice(ws, u.i + 1, u.i + 6), ' ') AS s
+  FROM w, UNNEST(range(0, greatest(len(ws) - 5, 0))) AS u(i)
+),
+dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+hits AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > 6 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged)
+SELECT doc_id,
+       CAST(min(pos) AS INT)                AS span_start,
+       CAST(max(pos) + 6 AS INT)            AS span_end,
+       CAST(max(pos) + 6 - min(pos) AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@query("d10_dup_spans", _D10_ORACLE)
+def d10_dup_spans(spark, sf_dir):
+    """Exact duplicate-substring spans: every K-token window whose text
+    occurs more than once ANYWHERE in the corpus, merged per document into
+    maximal duplicated spans [span_start, span_end) in token coordinates —
+    the removal lists an ExactSubstr dedup pass materializes.
+
+    Scale shape: the corpus-wide duplicate test never shuffles shingle
+    STRINGS. The full shingle set reduces to 8-byte xxhash64 keys for the
+    duplicate count (map-side combinable groupBy(h)), and only windows
+    whose hash is duplicated — a tiny fraction of web text — carry their
+    text into the exact string-equality confirmation, so hash collisions
+    cannot create false spans and the ~unique majority never pays
+    string-shuffle bytes. Both duplicate sets join back by broadcast
+    (they are |duplicates|-sized, not corpus-sized; at 10^10 shingles
+    drop the hint and AQE picks the join side). Span merging is per-doc
+    gaps-and-islands (lag + running sum) — the window key is doc_id,
+    never a hot corpus-wide key."""
+    K = _D10_K
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when size(ws) >= {K} then"
+                f" transform(sequence(0, size(ws) - {K}),"
+                f" i -> concat_ws(' ', slice(ws, i + 1, {K})))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("pos", "s"),
+    )
+    h = sh.withColumn("h", F.xxhash64("s"))
+    dup_h = (
+        h.groupBy("h").agg(F.count("*").alias("c")).filter("c > 1").select("h")
+    )
+    cand = h.join(F.broadcast(dup_h), "h")
+    dup_s = (
+        cand.groupBy("s")
+        .agg(F.count("*").alias("c"))
+        .filter("c > 1")
+        .select("s")
+    )
+    hits = cand.join(F.broadcast(dup_s), "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > K), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + K).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d11: SemDeDup — semantic dedup via k-means clusters + within-cluster
+# cosine (Abbas et al. 2023, arXiv:2303.09540).
+
+_D11_SRC = f"""SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + {D5_ID_OFFSET},
+             list_transform(embedding::DOUBLE[], x -> x*0.995 + 0.01)
+      FROM embeddings WHERE vec_id < {D5_N_PLANT}"""
+
+
+def _d11_oracle() -> str:
+    from spider_spark.operators.similarity import kmeans_assign_ctes
+
+    return f"""
+    WITH {kmeans_assign_ctes(_D11_SRC)},
+    pairs AS (
+      SELECT a.vec_id AS lo, b.vec_id AS hi
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= {D5_THRESHOLD}
+    )
+    SELECT v.vec_id, CAST(v.cell AS INT) AS cell,
+           CAST(count(p.lo) AS BIGINT) AS n_close_lower,
+           count(p.lo) = 0 AS keep
+    FROM assign v LEFT JOIN pairs p ON p.hi = v.vec_id
+    GROUP BY v.vec_id, v.cell
+    """
+
+
+@query("d11_semdedup", _d11_oracle())
+def d11_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means-clustering
+    the embedding space, then comparing cosine similarity ONLY within each
+    cluster; a vector is dropped when a lower-id vector in its cluster is
+    ≥ threshold similar (keep = lowest-id representative of each close
+    group). Reuses the IVF coarse quantizer (deterministic hash-ordered
+    sample, fixed iterations) and _d5_corpus's planted near-duplicates so
+    the verdicts are non-trivial at test scale.
+
+    Scale shape — the paper's own reason for clustering first: the
+    quantizer trains on a tiny driver-side sample and broadcasts back,
+    assignment is one Arrow-batched argmin map, and the only corpus-sized
+    shuffle is the pair equi-join on `cell` (k grows with the corpus so
+    per-cell pair work stays bounded; a hot cell is AQE skew-split — the
+    corpus-wide all-pairs O(n²) never exists in the plan)."""
+    from spider_spark.operators.similarity import ivf_assign_cells
+
+    corpus = _d5_corpus(spark, sf_dir).select("vec_id", "emb")
+    assigned = ivf_assign_cells(spark, corpus)
+    a = assigned.select(
+        F.col("vec_id").alias("lo"), F.col("emb").alias("ea"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("hi"),
+        F.col("emb").alias("eb"),
+        F.col("cell").alias("cell_b"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    close = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("lo") < F.col("hi")))
+        .filter(cos >= D5_THRESHOLD)
+        .groupBy("hi")
+        .agg(F.count("*").alias("nc"))
+    )
+    return assigned.join(
+        close, assigned["vec_id"] == close["hi"], "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce("nc", F.lit(0)).cast("long").alias("n_close_lower"),
+        (F.coalesce("nc", F.lit(0)) == 0).alias("keep"),
+    )

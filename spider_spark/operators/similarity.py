@@ -165,13 +165,16 @@ def _lsh_oracle_sql() -> str:
     """
 
 
-def _ivf_oracle_sql() -> str:
-    """ann_ivf replicated in SQL: sample = first 512 rows by
-    (murmur3(vec_id), vec_id); centroid init = first N_CENTROIDS sample
-    rows; _KMEANS_ITERS unrolled assign/update CTE pairs (argmin ties break
-    to the lowest cid, exactly numpy argmin; empty cells keep their old
-    centroid via COALESCE); corpus assigned to nearest final centroid;
-    queries probe their N_PROBE nearest cells; exact cosine top-k."""
+def kmeans_assign_ctes(src_sql: str) -> str:
+    """The deterministic IVF quantizer as a DuckDB CTE chain over
+    ``src_sql`` (any SELECT producing ``vec_id BIGINT, emb DOUBLE[]``):
+    sample = first 512 rows by (murmur3(vec_id), vec_id); centroid init =
+    first N_CENTROIDS sample rows; _KMEANS_ITERS unrolled assign/update
+    CTE pairs (argmin ties break to the lowest cid, exactly numpy argmin;
+    empty cells keep their old centroid via COALESCE); ends with
+    ``assign(vec_id, emb, cell)`` = corpus assigned to its nearest final
+    centroid ``cent{_KMEANS_ITERS}``. Shared by the ann_ivf and
+    d11_semdedup oracles."""
     from spider_spark.operators.sqlmurmur import hashlong_aliases
 
     iters = []
@@ -194,8 +197,7 @@ def _ivf_oracle_sql() -> str:
       ) m ON m.cell = c.cid
     )""")
     last = f"cent{_KMEANS_ITERS}"
-    return f"""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    return f"""emb AS ({src_sql}),
     hashed AS (
       SELECT vec_id, emb, {hashlong_aliases("vec_id", "42", "mmh", "h")}
       FROM emb
@@ -212,7 +214,19 @@ def _ivf_oracle_sql() -> str:
       FROM emb e CROSS JOIN {last} c
       QUALIFY row_number() OVER (PARTITION BY e.vec_id
           ORDER BY list_distance(e.emb, c.cent), c.cid) = 1
-    ),
+    )"""
+
+
+def _ivf_oracle_sql() -> str:
+    """ann_ivf replicated in SQL: the shared quantizer CTE chain over the
+    embeddings table, then queries probe their N_PROBE nearest cells and
+    re-rank by exact cosine (top-k)."""
+    last = f"cent{_KMEANS_ITERS}"
+    ctes = kmeans_assign_ctes(
+        "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+    )
+    return f"""
+    WITH {ctes},
     qprobe AS (
       SELECT q.vec_id AS query_id, q.emb AS qe, c.cid AS probe_cell
       FROM emb q CROSS JOIN {last} c
@@ -248,6 +262,35 @@ def train_ivf_centroids(sample: np.ndarray, k: int = N_CENTROIDS) -> np.ndarray:
             if len(members):
                 cent[c] = members.mean(axis=0)
     return cent
+
+
+def ivf_assign_cells(spark, corpus):
+    """Assign each row of ``corpus`` (vec_id, emb as a DOUBLE array) to its
+    nearest IVF centroid: deterministic hash-ordered 512-row sample →
+    train_ivf_centroids on the driver → broadcast → one Arrow-batched
+    argmin map. Returns corpus + ``cell`` (int). Mirrors
+    kmeans_assign_ctes bit-for-bit (same sample order, same quantizer),
+    so any oracle built on that CTE chain can check a consumer of this."""
+    sample = np.stack(
+        [
+            np.asarray(r["emb"], dtype=np.float64)
+            for r in corpus.select("vec_id", "emb")
+            .orderBy(F.hash("vec_id"), "vec_id")
+            .limit(512)
+            .collect()
+        ]
+    )
+    centroids = train_ivf_centroids(sample)
+    b_cent = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(embs: pd.Series) -> pd.Series:
+        cent = b_cent.value
+        mat = np.stack(embs.map(np.asarray).values).astype(np.float64)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return corpus.withColumn("cell", cell_udf("emb"))
 
 
 @query("ann_ivf", _ivf_oracle_sql())

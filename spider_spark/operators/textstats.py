@@ -630,3 +630,101 @@ def t13_source_tiers(spark, sf_dir):
     )
     w = Window.orderBy(F.desc("avg_chars"), "source")
     return s.withColumn("tier", F.ntile(3).over(w))
+
+
+# ---------------------------------------------------------------------------
+# t14: blocklist filter (the C4 "bad words" rule: drop documents whose
+# blocklisted-token share crosses a threshold).
+
+_T14_BLOCK = ("slow", "merge")  # stand-in blocklist from the fixture vocab
+_T14_THRESH = 0.07
+
+_T14_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(ws, w -> w IN ('slow', 'merge'))) AS BIGINT)
+           AS n_blocked,
+       round(len(list_filter(ws, w -> w IN ('slow', 'merge')))
+             / CAST(len(ws) AS DOUBLE), 6) AS blocked_ratio,
+       (len(list_filter(ws, w -> w IN ('slow', 'merge')))
+        < 0.07 * len(ws)) AS keep
+FROM t
+"""
+
+
+@query("t14_blocklist_filter", _T14_ORACLE)
+def t14_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist filter: per-document blocklisted-token count and
+    share; keep = share under threshold. The list here is a two-token
+    stand-in from the fixture vocabulary — a production badwords list is
+    a few thousand entries and still ships the same way.
+
+    Scale shape: a zero-exchange per-row map — the blocklist is a literal
+    IN-set inside a higher-order `filter` over the token array, entirely
+    whole-stage codegen (at real blocklist sizes: a broadcast variable or
+    bloom filter, still never a join/shuffle on the corpus side)."""
+    bl = ", ".join(f"'{w}'" for w in _T14_BLOCK)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    nb = F.size(F.expr(f"filter(ws, w -> w IN ({bl}))"))
+    return d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        nb.cast("long").alias("n_blocked"),
+        F.round(nb / F.size("ws"), 6).alias("blocked_ratio"),
+        (nb < _T14_THRESH * F.size("ws")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t15: BPE-ish token counting (the pre-tokenizer split every byte-pair
+# tokenizer applies before merges — GPT-2's pattern without the lookahead,
+# ASCII classes since the fixture corpus is ASCII).
+
+_T15_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@query(
+    "t15_bpe_token_count",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '{_T15_PAT}')) AS BIGINT)
+                 AS n_bpe_pieces
+      FROM documents)
+    SELECT doc_id, n_ws_tokens, n_bpe_pieces,
+           round(n_bpe_pieces / CAST(n_ws_tokens AS DOUBLE), 6)
+               AS pieces_per_word
+    FROM t
+    """,
+)
+def t15_bpe_token_count(spark, sf_dir):
+    """Token-budget estimation with a BPE-style pre-tokenizer regex
+    (letter runs / digit runs / punctuation runs, each with its optional
+    leading space) next to the plain whitespace count — the
+    pieces-per-word ratio is the standard tokens-per-word fertility a
+    training-data budget is planned against.
+
+    Scale shape: zero-exchange scan+map; the regex runs as a JVM
+    `regexp_extract_all` inside whole-stage codegen (the pattern avoids
+    lookahead so the same regex runs identically on Java regex and RE2).
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{_T15_PAT}', 0)")
+        ).cast("long").alias("n_bpe_pieces"),
+    )
+    return t.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_pieces",
+        F.round(F.col("n_bpe_pieces") / F.col("n_ws_tokens"), 6).alias(
+            "pieces_per_word"
+        ),
+    )

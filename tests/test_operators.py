@@ -533,3 +533,46 @@ def test_source_tiers_window_is_post_aggregate(spark, sf_dir):
     assert plan.count("Window") >= 1
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_spans_broadcasts_duplicate_sets(spark, sf_dir):
+    """d10's corpus-sized shingle side must never sort-merge: the duplicate
+    hash set and the exact-confirmed duplicate string set both join back by
+    broadcast, so the only full shuffles are the map-side-combinable
+    groupBy(h)/groupBy(s) counts and the per-doc island window."""
+    plan = (
+        QUERIES["d10_dup_spans"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocklist_filter_is_scan_plus_map(spark, sf_dir):
+    """t14 is a per-row map — no shuffle anywhere in the plan."""
+    plan = (
+        QUERIES["t14_blocklist_filter"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bpe_token_count_is_scan_plus_map(spark, sf_dir):
+    """t15 is a per-row map — no shuffle anywhere in the plan."""
+    plan = (
+        QUERIES["t15_bpe_token_count"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_semdedup_pairs_only_within_cells(spark, sf_dir):
+    """d11's pair comparison must be an equi-join keyed on the k-means cell
+    — never a corpus×corpus nested-loop/cartesian (the whole point of
+    clustering before comparing)."""
+    plan = (
+        QUERIES["d11_semdedup"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
