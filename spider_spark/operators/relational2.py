@@ -355,3 +355,37 @@ def j5_tile_placement(spark, sf_dir):
         ((F.col("col") - F.col("min_col")) * 256).alias("px"),
         ((F.col("row") - F.col("min_row")) * 256).alias("py"),
     )
+
+
+@query(
+    "w5_quality_deciles",
+    """
+    SELECT doc_id, lang,
+           CAST(ntile(10) OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS BIGINT)
+               AS decile
+    FROM documents
+    """,
+)
+def w5_quality_deciles(spark, sf_dir):
+    """Per-language quality deciles (ntile) over document length — the
+    bucket assignment a CCNet-style per-language quality-filtered corpus
+    cut consumes (keep deciles 8–10 of each language, drop the tail).
+    The (n_chars, doc_id) order is total, so the assignment is
+    deterministic and engine-independent.
+
+    Scale note: exact ntile needs a total order per language, and a
+    window PARTITION BY lang puts each whole language in one task — fine
+    at oracle scale, a hot-spot at 10^9 docs/language. The 100 TB path
+    swaps ntile for approx_percentile(n_chars, [0.1..0.9]) boundaries
+    per language broadcast back as a range filter (same downstream
+    contract, boundaries off by the sketch error); this query is the
+    exact form the sketch variant is validated against — the same
+    exact-oracle-vs-scale-path split as d2/d3."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )

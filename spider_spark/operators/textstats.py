@@ -728,3 +728,66 @@ def t15_bpe_token_count(spark, sf_dir):
             "pieces_per_word"
         ),
     )
+
+
+_T16_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+agg AS (SELECT p.doc_id,
+               count(*) AS n_terms,
+               sum(d.df) AS sum_df
+        FROM pairs p JOIN dft d USING (term) GROUP BY p.doc_id),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id,
+       CAST(n_terms AS BIGINT)  AS n_distinct_terms,
+       CAST(sum_df AS BIGINT)   AS sum_df,
+       round(sum_df / CAST(n_terms * n AS DOUBLE), 6) AS familiarity
+FROM agg, n
+"""
+
+
+@query("t16_token_familiarity", _T16_ORACLE)
+def t16_token_familiarity(spark, sf_dir):
+    """Corpus-familiarity quality score: the mean document frequency of a
+    document's distinct tokens (sum of per-term df over n_distinct·N).
+    Documents dominated by rare/garbage tokens score near 0, documents of
+    common well-formed text score high — the log-free rational analog of
+    CCNet's per-language LM-perplexity quality bucketing (Wenzek et al.
+    2020, public): integer counts and a single double division are
+    correctly rounded and therefore bit-identical across engines, where a
+    log-probability sum would drift ULPs.
+
+    Scale shape: the distinct (doc_id, term) set aggregates to a
+    vocabulary-sized df table (map-side partials absorb hot stopwords)
+    that joins back by BROADCAST — the corpus-sized pair set never
+    shuffles on the skewed term key; the per-doc aggregation exchanges on
+    evenly-distributed doc_id; N is a broadcast 1-row cross join. Same
+    exchange discipline as t11 (tf-idf)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    dft = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    return (
+        pairs.join(F.broadcast(dft), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_terms"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_distinct_terms",
+            "sum_df",
+            F.round(
+                F.col("sum_df")
+                / (F.col("n_distinct_terms") * F.col("n")).cast("double"),
+                6,
+            ).alias("familiarity"),
+        )
+    )
