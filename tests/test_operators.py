@@ -46,6 +46,18 @@ def test_tfidf_broadcasts_df_table(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_familiarity_broadcasts_df_table(spark, sf_dir):
+    """t16 must broadcast the vocabulary-df aggregate back to the corpus
+    pair set — same exchange discipline as t11: the corpus side never
+    sort-merges on the skew-prone term key."""
+    plan = (
+        QUERIES["t16_token_familiarity"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_hash_sample_is_scan_plus_filter(spark, sf_dir):
     """t10 must be a pure map over the scan: no exchange anywhere."""
     plan = (
