@@ -984,3 +984,65 @@ def f17_json_access(spark, sf_dir):
     return e.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total")
     )
+
+
+@query(
+    "j9_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 150000)
+    """,
+)
+def j9_semi_join(spark, sf_dir):
+    """Existence probe as LEFT SEMI join — the dual of j3's anti-join
+    (reference shape: 'only hosts with at least one pending high-priority
+    URL enter this round', the frontier's budget pre-filter). A semi join
+    carries no payload columns from the probe side, so Spark never
+    materializes or deduplicates the orders rows — at 10^10 orders that is
+    the difference between a semi-join exchange of keys and a join+distinct
+    that shuffles the whole fact table twice."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q6_selective_agg",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_selective_agg(spark, sf_dir):
+    """Highly selective scan-to-scalar aggregate (TPC-H Q6 shape): all four
+    predicates must reach the parquet scan as PushedFilters and the read
+    schema must shrink to the four referenced columns — the canonical
+    pushdown-or-die query. The sum is taken over exact integers (price
+    cents × discount percent, both 2-dp values recovered by round()) so
+    the result is independent of float fold order and bit-identical across
+    engines. One partial-agg exchange of a single row per partition; no
+    shuffle of data."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(cents * pct).cast("long").alias("revenue_e4"))
+    )

@@ -46,6 +46,33 @@ def test_tfidf_broadcasts_df_table(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_selective_agg_pushes_all_filters(spark, sf_dir):
+    """q6 must prune the scan to its four columns and push the shipdate /
+    discount / quantity predicates into the parquet reader."""
+    plan = (
+        QUERIES["q6_selective_agg"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = plan.split("ReadSchema")[1][:400]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in scan
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan
+    assert "PushedFilters: [" in plan
+    for pushed in ("l_shipdate", "l_discount", "l_quantity"):
+        assert pushed in plan.split("PushedFilters")[1][:400]
+
+
+def test_semi_join_has_no_payload_shuffle(spark, sf_dir):
+    """j9 must run as a (broadcast) left-semi join — never join+distinct,
+    never a sort-merge shuffle of the orders fact side."""
+    plan = (
+        QUERIES["j9_semi_join"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_familiarity_broadcasts_df_table(spark, sf_dir):
     """t16 must broadcast the vocabulary-df aggregate back to the corpus
     pair set — same exchange discipline as t11: the corpus side never
