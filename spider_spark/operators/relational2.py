@@ -389,3 +389,35 @@ def w5_quality_deciles(spark, sf_dir):
         "lang",
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+@query(
+    "a9_group_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)      AS qty_p50,
+           round(quantile_cont(l_quantity, 0.9), 6)      AS qty_p90,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_group_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`: both use lower + (upper−lower)·frac over the
+    sorted group, verified value-hash-identical). The per-host latency /
+    per-layer feature-count distribution summaries the reference eyeballs
+    from logs, as one aggregate.
+
+    Scale note: exact percentile buffers each group's values — fine for
+    bounded groups (3 return flags; hosts; layers), the wrong tool for
+    10^9-row groups, where the swap is approx_percentile (t-digest sketch,
+    mergeable map-side) at a documented error bound; this query is the
+    exact form that sketch is validated against."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "price_p50"
+        ),
+    )
