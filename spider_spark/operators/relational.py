@@ -754,6 +754,29 @@ def u2_except(spark, sf_dir):
     return o.subtract(done)  # EXCEPT (distinct) semantics
 
 
+@query(
+    "u5_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderdate <  TIMESTAMP '1995-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    """,
+)
+def u5_intersect(spark, sf_dir):
+    """INTERSECT (distinct) — customers active in both halves of the order
+    history (the 'seen in both crawls' retained-host primitive, the dual
+    of u2's drain). Spark plans intersect as a distinct-aggregated semi
+    join on the full row — one exchange per side on the natural key."""
+    o = load(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1995-01-01")).select(
+        "o_custkey"
+    )
+    late = o.filter(F.col("o_orderdate") >= F.lit("1995-01-01")).select(
+        "o_custkey"
+    )
+    return early.intersect(late)
+
+
 # ---------------------------------------------------------------------------
 # F — scalar functions
 # ---------------------------------------------------------------------------
