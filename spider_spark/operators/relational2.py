@@ -421,3 +421,43 @@ def a9_group_percentiles(spark, sf_dir):
             "price_p50"
         ),
     )
+
+
+@query(
+    "a10_pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (o_orderstatus = 'F') AS BIGINT)          AS cents_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a10_pivot_status(spark, sf_dir):
+    """Pivot (long→wide) with an EXPLICIT value list — the status-by-
+    priority progress matrix the reference prints as nested counters.
+    Listing the pivot values up front matters at scale: without it Spark
+    runs an extra distinct job over the corpus to discover the columns
+    (and the result schema becomes data-dependent, which breaks writers
+    expecting a fixed table). Counts and exact cents sums only, so the
+    wide cells are bit-identical to the oracle's FILTER aggregates."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).cast("long").alias("n_p"),
+        F.col("F_cents").cast("long").alias("cents_f"),
+    )
