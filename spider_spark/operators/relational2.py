@@ -461,3 +461,35 @@ def a10_pivot_status(spark, sf_dir):
         F.coalesce("P_n", F.lit(0)).cast("long").alias("n_p"),
         F.col("F_cents").cast("long").alias("cents_f"),
     )
+
+
+@query(
+    "a11_unpivot_metrics",
+    """
+    WITH s AS (SELECT lang,
+                      CAST(count(*) AS BIGINT)     AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS total_chars
+               FROM documents GROUP BY lang)
+    SELECT lang, 'n_docs' AS metric, n_docs AS value FROM s
+    UNION ALL
+    SELECT lang, 'total_chars' AS metric, total_chars AS value FROM s
+    """,
+)
+def a11_unpivot_metrics(spark, sf_dir):
+    """Unpivot (wide→long melt, the inverse of a10): per-language corpus
+    stats flattened to (lang, metric, value) rows — the tall shape a
+    metrics store or dashboard ingests. Uses the DataFrame `unpivot` API
+    (expression-only: a zero-exchange map over the aggregate — the melt
+    itself never shuffles; the only exchange is the groupBy that built
+    the wide input)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return s.unpivot(
+        ids=["lang"],
+        values=["n_docs", "total_chars"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
