@@ -6,6 +6,8 @@ read/write; tests in tests/test_sources.py exercise round-trips.
 
 from __future__ import annotations
 
+from zipfile import BadZipFile as zipfile_BadZipFile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -152,21 +154,71 @@ def write_geojson_feature_collection(
     fc.coalesce(1).write.mode("overwrite").text(path)
 
 
-def read_xls(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
-    """S10 — XLS(X) source (/root/reference/getDirection.py:62-120 via
-    xlrd). No excel reader ships in this container: gated behind an
-    import-try on openpyxl/xlrd through pandas; raises NotImplementedError
-    with the wiring documented otherwise."""
-    try:
-        import pandas as _pd
+def read_xls(
+    spark: SparkSession, path: str, sheet: int | str = 0, header: bool = True
+) -> DataFrame:
+    """S10 — XLS(X) source (/root/reference/getDirection.py:62-120,
+    /root/reference/getGeocode.py:56-99 via xlrd). ``.xlsx`` is a ZIP of
+    SpreadsheetML XML, so the default path is the stdlib reader in
+    :mod:`spider_spark.operators.xlsx` (zipfile + ElementTree — no excel
+    lib needed). Legacy binary ``.xls``, or ``.xlsx`` features the minimal
+    reader rejects, fall back to pandas.read_excel (openpyxl/xlrd) when
+    importable."""
+    from spider_spark.operators.xlsx import read_xlsx_rows
 
-        pdf = _pd.read_excel(path, sheet_name=sheet)  # needs openpyxl/xlrd
-    except ImportError as e:  # pragma: no cover - container lacks excel libs
-        raise NotImplementedError(
-            "XLS source needs openpyxl/xlrd (pandas.read_excel); convert to "
-            "CSV upstream or add the dependency"
-        ) from e
-    return spark.createDataFrame(pdf)
+    rows = None
+    if path.lower().endswith((".xlsx", ".xlsm")):
+        try:
+            rows = read_xlsx_rows(path, sheet)
+        except (zipfile_BadZipFile, KeyError, ValueError):
+            rows = None
+    if rows is None:
+        try:
+            import pandas as _pd
+
+            pdf = _pd.read_excel(path, sheet_name=sheet)  # needs openpyxl/xlrd
+        except ImportError as e:  # pragma: no cover - container lacks excel libs
+            raise NotImplementedError(
+                "legacy/complex XLS needs openpyxl/xlrd (pandas.read_excel); "
+                "the stdlib path handles standard .xlsx"
+            ) from e
+        return spark.createDataFrame(pdf)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    if header:
+        names = [str(c) if c is not None else f"_c{i}" for i, c in enumerate(rows[0])]
+        data = rows[1:]
+    else:
+        names = [f"_c{i}" for i in range(len(rows[0]))]
+        data = rows
+    # mixed int/float columns -> promote to float so Spark infers one type
+    ncols = len(names)
+    col_has_float = [
+        any(isinstance(r[i], float) for r in data) for i in range(ncols)
+    ]
+    promoted = [
+        [
+            float(v) if col_has_float[i] and isinstance(v, int) and not isinstance(v, bool) else v
+            for i, v in enumerate(r)
+        ]
+        for r in data
+    ]
+    return spark.createDataFrame(promoted, names)
+
+
+def write_xls_sink(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
+    """S10 write side — the reference writes geocoded results back out as a
+    workbook (xlwt outbook, /root/reference/getDirection.py:69-118). A
+    workbook is one ZIP, so like the GeoJSON sink this is a deliberate
+    single-file sink: stream rows driver-side (toLocalIterator — no full
+    collect) into the stdlib writer. Excel caps sheets at ~1M rows, so the
+    single-file shape is inherent to the format, not a scale compromise."""
+    from spider_spark.operators.xlsx import write_xlsx
+
+    rows: list[list] = [list(df.columns)]
+    for r in df.toLocalIterator():
+        rows.append([r[c] for c in df.columns])
+    write_xlsx(path, rows, sheet_name=sheet_name)
 
 
 def write_binary_tiles(df: DataFrame, path: str) -> None:

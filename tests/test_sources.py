@@ -102,20 +102,114 @@ def test_geojson_feature_collection(spark, tmp_path):
     assert {f["properties"]["name"] for f in fc["features"]} == {"A", "B"}
 
 
-def test_xls_gate(spark, tmp_path):
-    import pytest
+def test_xlsx_roundtrip_stdlib(spark, tmp_path):
+    """S10 closed for real: write a workbook with the stdlib writer, read
+    it back with read_xls — no openpyxl/xlrd anywhere (the reference's
+    xlrd/xlwt round-trip, /root/reference/getDirection.py:62-120)."""
+    from spider_spark.operators.sources import read_xls, write_xls_sink
+    from spider_spark.operators.xlsx import read_xlsx_rows, write_xlsx
+
+    path = str(tmp_path / "pts.xlsx")
+    write_xlsx(
+        path,
+        [
+            ["name", "lng", "lat", "n", "ok"],
+            ["南山区", 113.93, 22.53, 7, True],
+            ["A & <B>", -0.5, 0.0, 42, False],
+        ],
+    )
+    df = read_xls(spark, path)
+    assert df.columns == ["name", "lng", "lat", "n", "ok"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["南山区"]["lng"] == 113.93 and rows["南山区"]["n"] == 7
+    assert rows["A & <B>"]["lat"] == 0.0 and rows["A & <B>"]["ok"] is False
+
+    # write side: DataFrame -> .xlsx -> raw rows parse back identically
+    out = str(tmp_path / "out.xlsx")
+    write_xls_sink(df.orderBy("name"), out)
+    back = read_xlsx_rows(out)
+    assert back[0] == ["name", "lng", "lat", "n", "ok"]
+    assert ["南山区", 113.93, 22.53, 7, True] in back[1:]
+
+
+def test_xlsx_parity_with_csv(spark, tmp_path):
+    """The xlsx source and the CSV source agree on the same table."""
+    from spider_spark.operators.sources import read_csv_source, read_xls
+    from spider_spark.operators.xlsx import write_xlsx
+
+    data = [["city", "pop"], ["shenzhen", 17560000], ["suzhou", 12748262]]
+    csv_p = tmp_path / "t.csv"
+    csv_p.write_text("\n".join(",".join(map(str, r)) for r in data))
+    write_xlsx(str(tmp_path / "t.xlsx"), data)
+
+    a = read_csv_source(spark, str(csv_p)).orderBy("city").collect()
+    b = read_xls(spark, str(tmp_path / "t.xlsx")).orderBy("city").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_xlsx_shared_strings_and_sparse_rows(spark, tmp_path):
+    """Hand-assembled workbook using sharedStrings + gapped cell refs —
+    the layout real writers (Excel, openpyxl) emit."""
+    import zipfile
 
     from spider_spark.operators.sources import read_xls
+    from spider_spark.operators.xlsx import (
+        _CONTENT_TYPES,
+        _ROOT_RELS,
+        _WORKBOOK,
+        _WORKBOOK_RELS,
+    )
+
+    ss = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>id</t></si><si><t>label</t></si>"
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats'
+        '.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>x</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="C2"><v>2.5</v></c></row>'
+        '<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="s"><v>2</v></c>'
+        '<c r="C3"><v>3</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "ss.xlsx")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _WORKBOOK.format(name="Data"))
+        zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        zf.writestr("xl/sharedStrings.xml", ss)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    df = read_xls(spark, p, sheet="Data")
+    assert df.columns == ["id", "label", "x"]
+    got = sorted([tuple(r) for r in df.collect()])
+    # row 2's B is a gap -> None; rich-text shared string "ri"+"ch" joined;
+    # mixed int/float column C promoted to double
+    assert got == [(1, None, 2.5), (2, "rich", 3.0)]
+
+
+def test_xls_legacy_gate(spark, tmp_path):
+    """Legacy binary .xls still needs an excel lib; the gate survives for
+    that branch only."""
+    import pytest
 
     try:
-        import openpyxl  # noqa: F401
+        import xlrd  # noqa: F401
 
-        has_excel = True
+        pytest.skip("xlrd present; gate not exercised")
     except ImportError:
-        has_excel = False
-    if not has_excel:
-        with pytest.raises((NotImplementedError, Exception)):
-            read_xls(spark, str(tmp_path / "missing.xlsx"))
+        pass
+    from spider_spark.operators.sources import read_xls
+
+    p = tmp_path / "legacy.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 512)
+    with pytest.raises(NotImplementedError, match="openpyxl/xlrd"):
+        read_xls(spark, str(p))
 
 
 def test_binary_tile_layout(spark, tmp_path):
