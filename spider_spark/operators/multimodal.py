@@ -32,11 +32,29 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def decode_image_real(payload: bytes):
-    """Real decode slot: ``PIL.Image.open(io.BytesIO(payload))`` →
-    np.asarray. Not available in this container."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/opencv; wire PIL.Image.open here"
+def decode_image_real(payload: bytes) -> np.ndarray:
+    """Real decode slot, un-gated: the stdlib PNG codec
+    (:mod:`spider_spark.operators.png` — zlib + filter undo) handles the
+    reference's own tile PNGs (/root/reference/suplicmap_tilemap.py:136-145).
+    Non-PNG payloads would go to Pillow here; PNG needs no third-party lib.
+    Returns uint8 (h, w) grey or (h, w, c)."""
+    from spider_spark.operators.png import decode_png
+
+    return decode_png(payload)
+
+
+def to_grey8x8(img: np.ndarray) -> np.ndarray:
+    """Channel-mean greyscale + 8×8 block-mean downsample — the standard
+    average-hash preprocessing, feeding a real decode into the same
+    ``phash_batch`` kernel the fake path uses. Requires dims divisible by
+    8 (map tiles are 256×256)."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"image dims {h}x{w} not divisible by 8")
+    return (
+        img.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3)).astype(np.float64)
     )
 
 
@@ -72,28 +90,68 @@ def phash_batch(imgs: np.ndarray) -> np.ndarray:
     )
 
 
-def image_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+def image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    decode: str = "fake",
+) -> DataFrame:
     """mapInPandas feature extraction over a binary column — the pattern a
     real pipeline uses for decode/resize/embed; batch shape: one Arrow
     batch in → one metadata frame out. Only the decode call is per-row
-    (it is the real-decoder slot); stats and phash are numpy over the
-    whole batch."""
+    (it is the decoder slot); stats and phash are numpy over the whole
+    batch. ``decode="real"`` runs the stdlib PNG decoder
+    (:func:`decode_image_real`) + channel-mean/8×8 block-mean
+    preprocessing; ``"fake"`` keeps the deterministic byte-math stand-in
+    that the SQL oracle can reproduce."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = list(pdf[bin_col])
-            imgs = np.stack([decode_image_fake(p) for p in payloads]) if payloads else np.empty((0, 8, 8), dtype=np.uint8)
-            flat = imgs.reshape(len(imgs), 64).astype(np.float64)
+            payloads = [bytes(p) for p in pdf[bin_col]]
+            n = len(payloads)
+            if decode == "fake":
+                imgs = (
+                    np.stack([decode_image_fake(p) for p in payloads])
+                    if n
+                    else np.empty((0, 8, 8), dtype=np.uint8)
+                )
+                widths = np.full(n, 8, dtype=np.int32)
+                heights = np.full(n, 8, dtype=np.int32)
+                flat = imgs.reshape(n, 64).astype(np.float64)
+                means = flat.mean(axis=1) if n else np.empty(0)
+                small = imgs
+            else:
+                decoded = [decode_image_real(p) for p in payloads]
+                widths = np.fromiter(
+                    (d.shape[1] for d in decoded), dtype=np.int32, count=n
+                )
+                heights = np.fromiter(
+                    (d.shape[0] for d in decoded), dtype=np.int32, count=n
+                )
+                means = np.fromiter(
+                    (d.astype(np.float64).mean() for d in decoded),
+                    dtype=np.float64,
+                    count=n,
+                )
+                small = (
+                    np.stack([to_grey8x8(d) for d in decoded])
+                    if n
+                    else np.empty((0, 8, 8))
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").to_numpy(),
                     "n_bytes": np.fromiter(
-                        (len(p) for p in payloads), dtype=np.int32, count=len(payloads)
+                        (len(p) for p in payloads), dtype=np.int32, count=n
                     ),
-                    "width": np.full(len(payloads), imgs.shape[2] if len(payloads) else 8, dtype=np.int32),
-                    "height": np.full(len(payloads), imgs.shape[1] if len(payloads) else 8, dtype=np.int32),
-                    "mean_intensity": flat.mean(axis=1) if len(payloads) else np.empty(0),
-                    "phash": phash_batch(imgs) if len(payloads) else np.empty(0, dtype=np.int64),
+                    "width": widths,
+                    "height": heights,
+                    "mean_intensity": means,
+                    "phash": phash_batch(small)
+                    if n
+                    else np.empty(0, dtype=np.int64),
                 }
             )
 

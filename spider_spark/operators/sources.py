@@ -288,27 +288,86 @@ def write_gtiff_mosaic(
     origin: tuple[float, float],
     resolution: float,
     tilesize: int = 256,
-) -> None:
-    """S15 — GTiff mosaic sink over ``write_binary_tiles`` output
-    (/root/reference/merge_tiles.py:66-129: WriteRaster placement, 4-GCP
-    gdal.Translate, LZW BIGTIFF, nearest overviews 2..14).
+    level: int | None = None,
+) -> dict:
+    """S15 — georeferenced TIFF mosaic sink over ``write_binary_tiles``
+    output (/root/reference/merge_tiles.py:66-129: per-tile WriteRaster
+    placement, then gdal.Translate with the 4-GCP list). No GDAL needed:
+    the canvas is an uncompressed striped baseline TIFF with GeoTIFF
+    ModelTiepoint/ModelPixelScale tags, written by the stdlib
+    ``struct``-packed writer in :mod:`spider_spark.operators.tiff`.
 
-    A mosaic is a single shared canvas, so this is the one deliberately
-    driver-side post-step (the reference walks a folder; we stream the
-    partitioned tile parquet). All the arithmetic lives in
-    ``mosaic_placement`` (tested without GDAL); the raster I/O is gated
-    behind an import-try because GDAL does not ship in this container."""
-    try:
-        from osgeo import gdal  # noqa: F401
-    except ImportError as e:  # pragma: no cover - container lacks GDAL
-        raise NotImplementedError(
-            "GTiff mosaic needs GDAL (osgeo). Wiring when present: read "
-            f"{tiles_path} (cols level,row,col,png:binary) with "
-            "toLocalIterator(), decode each PNG via gdal/PIL, compute "
-            "offsets from mosaic_placement()['offset'], WriteRaster per "
-            "band, then gdal.Translate with the GCP list and "
-            "BuildOverviews('nearest', range(2, 16, 2))"
-        ) from e
+    Scale shape: each tile row is one TIFF strip, assembled in an executor
+    (``applyInPandas`` groups tiles by row, decodes the PNGs with the
+    stdlib codec, and composes the strip). The driver only streams the
+    ordered strips to disk — it never holds the canvas, so mosaic size is
+    bounded by one strip (width·tilesize·channels), not width·height.
+    GDAL-only niceties the reference adds (LZW, BIGTIFF, overview
+    pyramids) are intentionally not replicated; the geo placement — what
+    the tests assert — is.
+
+    Returns the placement dict (canvas size + GCPs) for the caller."""
+    from spider_spark.operators.png import decode_png
+    from spider_spark.operators.tiff import tile_rows_to_strips, write_baseline_tiff
+
+    tiles = spark.read.parquet(tiles_path)
+    if level is not None:
+        tiles = tiles.filter(F.col("level") == level)
+    ext = tiles.agg(
+        F.min("col").alias("c0"), F.max("col").alias("c1"),
+        F.min("row").alias("r0"), F.max("row").alias("r1"),
+    ).first()
+    if ext is None or ext["c0"] is None:
+        raise ValueError(f"no tiles found under {tiles_path}")
+    min_col, max_col, min_row, max_row = ext["c0"], ext["c1"], ext["r0"], ext["r1"]
+    place = mosaic_placement(
+        min_col, max_col, min_row, max_row, bounds, origin, resolution, tilesize
+    )
+    first = tiles.select("png").first()["png"]
+    sample = decode_png(bytes(first))
+    channels = 1 if sample.ndim == 2 else sample.shape[2]
+    width_px = place["width_px"]
+
+    def _assemble(pdf):
+        import numpy as _np
+
+        from spider_spark.operators.png import decode_png as _dec
+
+        canvas = _np.zeros((tilesize, width_px, channels), dtype=_np.uint8)
+        for col, png in zip(pdf["col"], pdf["png"]):
+            img = _dec(bytes(png))
+            if img.ndim == 2:
+                img = img[:, :, None]
+            x0 = (int(col) - min_col) * tilesize
+            h, w = img.shape[:2]
+            canvas[:h, x0 : x0 + w, :] = img[:tilesize, :tilesize, :channels]
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"row": [int(pdf["row"].iloc[0])], "strip": [canvas.tobytes()]}
+        )
+
+    strips_df = (
+        tiles.select("row", "col", "png")
+        .groupBy("row")
+        .applyInPandas(_assemble, "row int, strip binary")
+        .orderBy("row")
+    )
+    ordered = ((r["row"], bytes(r["strip"])) for r in strips_df.toLocalIterator())
+    write_baseline_tiff(
+        out_path,
+        width_px,
+        place["height_px"],
+        channels,
+        tilesize,
+        tile_rows_to_strips(ordered, min_row, max_row, width_px, tilesize, channels),
+        pixel_scale=(resolution, resolution, 0.0),
+        tiepoints=[
+            (float(px), float(ln), float(gx), float(gy))
+            for (gx, gy), (px, ln) in place["gcps"]
+        ],
+    )
+    return place
 
     import os as _os  # pragma: no cover - needs GDAL to reach
 

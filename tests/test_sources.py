@@ -258,23 +258,23 @@ def test_mosaic_placement_math():
     ]
 
 
-def test_gtiff_mosaic_gated():
-    """Without GDAL the sink raises NotImplementedError documenting the
-    wiring (import gate, same pattern as the XLS source)."""
+def test_gtiff_mosaic_empty_tiles(spark, tmp_path):
+    """The (now un-gated, stdlib) mosaic sink fails loudly on an empty
+    tile set instead of writing a zero-size canvas. Full end-to-end
+    coverage lives in tests/test_png_tiff.py."""
     import pytest
 
-    from spider_spark.operators.sources import write_gtiff_mosaic
+    from spider_spark.operators.sources import write_binary_tiles, write_gtiff_mosaic
 
-    try:
-        import osgeo  # noqa: F401
-
-        pytest.skip("GDAL present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="GDAL"):
+    one = spark.createDataFrame(
+        [(8, 0, 0, b"\x00")], "level int, row int, col int, png binary"
+    )
+    p = str(tmp_path / "tiles")
+    write_binary_tiles(one, p)
+    with pytest.raises(ValueError, match="no tiles"):
         write_gtiff_mosaic(
-            None, "/tmp/never", "/tmp/never.tif",
-            (0.0, 0.0, 1.0, 1.0), (0.0, 0.0), 0.5,
+            spark, p, str(tmp_path / "never.tif"),
+            (0.0, 0.0, 1.0, 1.0), (0.0, 0.0), 0.5, level=9,
         )
 
 
