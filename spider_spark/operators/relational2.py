@@ -376,18 +376,80 @@ def w5_quality_deciles(spark, sf_dir):
 
     Scale note: exact ntile needs a total order per language, and a
     window PARTITION BY lang puts each whole language in one task — fine
-    at oracle scale, a hot-spot at 10^9 docs/language. The 100 TB path
-    swaps ntile for approx_percentile(n_chars, [0.1..0.9]) boundaries
-    per language broadcast back as a range filter (same downstream
-    contract, boundaries off by the sketch error); this query is the
-    exact form the sketch variant is validated against — the same
-    exact-oracle-vs-scale-path split as d2/d3."""
+    at oracle scale, a hot-spot at 10^9 docs/language. The 100 TB path is
+    :func:`w6_decile_sketch` below (approx_percentile boundaries broadcast
+    back as a range filter — same downstream contract, boundaries off by
+    the sketch error); tests/test_operators2.py pins sketch-vs-exact
+    agreement at oracle scale — the same exact-oracle-vs-scale-path split
+    as d2/d3."""
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     return d.select(
         "doc_id",
         "lang",
         F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+# w6's oracle reproduces Spark's Greenwald-Khanna approx_percentile
+# exactly: below the accuracy threshold (10k samples/group) the sketch
+# retains every value, and the returned boundary is the element at
+# 1-based rank ceil(p·n) computed in DOUBLE arithmetic (p = k/10 as an
+# IEEE double, so e.g. 0.1·70 = 7.000000000000001 → rank 8, not 7).
+# CAST(k AS DOUBLE)/10 rounds to the same double as the literal Spark
+# sees, keeping both engines bit-identical — verified at sf0.001/0.01/0.1
+# across every language before this was committed.
+_W6_ORACLE = """
+WITH g AS (
+  SELECT lang, list_sort(list(n_chars)) AS v, count(*) AS n
+  FROM documents GROUP BY lang
+), b AS (
+  SELECT lang,
+         list_transform(range(1, 10),
+                        k -> v[CAST(ceil(CAST(k AS DOUBLE) / 10 * n) AS INT)])
+           AS bounds
+  FROM g
+)
+SELECT d.doc_id, d.lang,
+       CAST(1 + len(list_filter(b.bounds, x -> d.n_chars > x)) AS BIGINT)
+         AS decile
+FROM documents d JOIN b USING (lang)
+"""
+
+
+@query("w6_decile_sketch", _W6_ORACLE)
+def w6_decile_sketch(spark, sf_dir):
+    """w5's 100 TB path: per-language decile assignment WITHOUT a
+    per-language window. approx_percentile (Greenwald-Khanna, mergeable
+    map-side — each partition sketches locally, partials merge on the
+    driver-sized |langs|-row aggregate) produces the 9 boundary values per
+    language; that tiny table broadcasts back and the decile is a pure
+    range count (1 + #boundaries below n_chars) — zero-exchange on the
+    corpus beyond the one boundary agg. Ties all land in one decile
+    (threshold semantics) where exact ntile splits them by doc_id, which
+    is the documented sketch-vs-exact tolerance; at 10^9 docs/language the
+    boundaries are off by at most the sketch's rank error ε·n
+    (ε = 1/accuracy), and no task ever holds a whole language.
+
+    Validated against exact w5 (bucket sizes, per-doc drift) in
+    tests/test_operators2.py."""
+    d = load(spark, sf_dir, "documents")
+    bounds = d.groupBy("lang").agg(
+        F.percentile_approx(
+            "n_chars", [i / 10 for i in range(1, 10)], 10000
+        ).alias("bounds")
+    )
+    return d.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        (
+            1
+            + F.size(
+                F.filter("bounds", lambda b: F.col("n_chars") > b)
+            )
+        )
+        .cast("long")
+        .alias("decile"),
     )
 
 
