@@ -1016,12 +1016,14 @@ def d9_paragraph_dedup(spark, sf_dir):
 _D10_K = 6  # span grain in tokens (the paper uses 50 BPE tokens; the
 # synthetic corpus is ~54 tokens/doc, so 6 keeps spans sub-document)
 
-_D10_ORACLE = """
+# Interpolates _D10_K so implementation and oracle share one constant
+# (changing the grain cannot silently desynchronize the two engines).
+_D10_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
   SELECT doc_id, CAST(u.i AS INT) AS pos,
-         array_to_string(list_slice(ws, u.i + 1, u.i + 6), ' ') AS s
-  FROM w, UNNEST(range(0, greatest(len(ws) - 5, 0))) AS u(i)
+         array_to_string(list_slice(ws, u.i + 1, u.i + {_D10_K}), ' ') AS s
+  FROM w, UNNEST(range(0, greatest(len(ws) - {_D10_K - 1}, 0))) AS u(i)
 ),
 dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
 hits AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
@@ -1031,13 +1033,13 @@ lagged AS (
   FROM hits),
 isl AS (
   SELECT doc_id, pos,
-         sum(CASE WHEN prev IS NULL OR pos - prev > 6 THEN 1 ELSE 0 END)
+         sum(CASE WHEN prev IS NULL OR pos - prev > {_D10_K} THEN 1 ELSE 0 END)
              OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM lagged)
 SELECT doc_id,
-       CAST(min(pos) AS INT)                AS span_start,
-       CAST(max(pos) + 6 AS INT)            AS span_end,
-       CAST(max(pos) + 6 - min(pos) AS INT) AS span_tokens
+       CAST(min(pos) AS INT)                    AS span_start,
+       CAST(max(pos) + {_D10_K} AS INT)         AS span_end,
+       CAST(max(pos) + {_D10_K} - min(pos) AS INT) AS span_tokens
 FROM isl GROUP BY doc_id, island
 """
 
@@ -1133,7 +1135,7 @@ def _d11_oracle() -> str:
       SELECT a.vec_id AS lo, b.vec_id AS hi
       FROM assign a JOIN assign b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.emb, b.emb) >= {D5_THRESHOLD}
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {D5_THRESHOLD}
     )
     SELECT v.vec_id, CAST(v.cell AS INT) AS cell,
            CAST(count(p.lo) AS BIGINT) AS n_close_lower,
@@ -1183,9 +1185,15 @@ def d11_semdedup(spark, sf_dir):
         F.sqrt(dot(F.col("ea"), F.col("ea")))
         * F.sqrt(dot(F.col("eb"), F.col("eb")))
     )
+    # The threshold compare runs on the 6-dp-rounded similarity in BOTH
+    # engines (Spark here, round() in the oracle): the two float formulas
+    # (zip_with dot/sqrt vs DuckDB list_cosine_similarity) agree to ~1e-12,
+    # so rounding first makes the keep verdict identical unless a pair's
+    # true cosine sits within 1e-12 of a 5e-7 rounding boundary — the
+    # planted duplicates are constructed with margin ≥ 1e-3 from 0.95.
     close = (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("lo") < F.col("hi")))
-        .filter(cos >= D5_THRESHOLD)
+        .filter(F.round(cos, 6) >= D5_THRESHOLD)
         .groupBy("hi")
         .agg(F.count("*").alias("nc"))
     )

@@ -589,7 +589,7 @@ def t12_pii_redact(spark, sf_dir):
                      (F.col("doc_id") % 89).cast("string")),
         ).otherwise(F.lit("")),
     )
-    return load(spark, sf_dir, "documents").select(
+    return d.select(
         "doc_id",
         F.regexp_replace(
             F.regexp_replace(raw, _T12_EMAIL, "<EMAIL>"),
