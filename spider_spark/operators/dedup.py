@@ -817,6 +817,139 @@ def d5_embedding_neardup(spark, sf_dir):
     )
 
 
+def _canon_edges(e):
+    """Orient every edge (max, min), drop self-loops, dedup."""
+    return (
+        e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def cc_star_contraction(edges, max_rounds: int = 40):
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond" — public): O(log n) rounds regardless of component
+    diameter, each round the same groupBy-min + join shape as one
+    min-label step. large-star hangs every strictly-larger neighbor of u
+    off min(N(u) ∪ {u}); small-star re-hangs the smaller neighborhood the
+    same way; the fixpoint is a forest of depth-1 stars whose centers are
+    the component minima.
+
+    `edges` is any (u, v) pair DataFrame (direction/dups/self-loops ok).
+    Returns DataFrame(id, cluster) over every endpoint. Each round
+    localCheckpoints eagerly: the loop would otherwise stack ~6 joins of
+    lineage per iteration, and convergence is detected by a
+    (count, hash-sum) checksum of the canonical edge set — driver reads
+    two scalars per round, never data."""
+    e = _canon_edges(edges).localCheckpoint(eager=True)
+    prev_chk = None
+    for _ in range(max_rounds):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("mn"), F.col("u")).alias("v"),
+            )
+            .distinct()
+        )  # emitted (v, m): v > u ≥ m, so orientation (max, min) holds
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("mn").alias("v")))
+        )
+        new_e = _canon_edges(small).localCheckpoint(eager=True)
+        chk_row = new_e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(
+                F.sum(F.hash("u", "v").cast("long")), F.lit(0).cast("long")
+            ).alias("h"),
+        ).collect()[0]
+        chk = (chk_row["c"], chk_row["h"])
+        e = new_e
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    else:
+        raise RuntimeError(
+            "cc_star_contraction did not converge in "
+            f"{max_rounds} rounds — not expected for any graph of size "
+            f"< 2^{max_rounds}"
+        )
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+        .union(e.select(F.col("v").alias("id"), F.col("v").alias("cluster")))
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+
+
+def connected_components(edges, prop_rounds: int = 50):
+    """Connected components over an (u, v) edge DataFrame: min-label
+    propagation (one join + one min-agg per round — cheapest when
+    components are shallow, the near-dup norm) up to `prop_rounds`, then
+    the large-star/small-star contraction fallback for any graph whose
+    diameter exceeds the bound (logarithmic rounds, so a 10^6-long chain
+    still terminates). Returns DataFrame(id, cluster), cluster = min id
+    in the component."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.filter(F.col("u") != F.col("v")).persist()
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    converged = False
+    for _ in range(prop_rounds):
+        neigh = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("cluster").alias("ncluster"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["u"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["cluster"],
+                    F.coalesce(F.col("ncluster"), labels["cluster"]),
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("id", F.col("cluster").alias("old")), "id")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if converged:
+        # truncate lineage so the caches can be released before returning
+        out = labels.localCheckpoint(eager=True)
+        labels.unpersist()
+        sym.unpersist()
+        return out
+    # diameter > prop_rounds: contraction finishes in O(log n) rounds
+    labels.unpersist()
+    out = cc_star_contraction(sym).localCheckpoint(eager=True)
+    sym.unpersist()
+    return out
+
+
 @query(
     "d7_neardup_clusters",
     """
@@ -865,68 +998,17 @@ def d7_neardup_clusters(spark, sf_dir):
     per pair): connected components over the d2 near-dup pair graph via
     min-label propagation — each iteration one join + one min-aggregate,
     repeated until a fixpoint (≤ component diameter rounds; near-dup
-    components are shallow). cluster = min doc_id in the component. The
-    oracle is a DuckDB recursive-CTE transitive closure over the same
-    pairs. At 10^10 docs the same loop runs with the large-star/small-star
-    optimization (alternate min-label with star contraction) — identical
-    join shape, fewer rounds; the driver only reads a convergence counter
-    per iteration, never data."""
+    components are shallow) — with the large-star/small-star contraction
+    fallback (:func:`cc_star_contraction`) taking over automatically for
+    any pathological deep component, so the 10^10-doc case terminates in
+    logarithmic rounds either way. cluster = min doc_id in the component.
+    The oracle is a DuckDB recursive-CTE transitive closure over the same
+    pairs. The driver only reads a convergence counter per iteration,
+    never data."""
     pairs = d2_token_jaccard(spark, sf_dir).select("id_a", "id_b")
-    edges = (
-        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
-        .toDF("u", "v")
-        .persist()
+    return connected_components(pairs.toDF("u", "v")).select(
+        F.col("id").alias("doc_id"), "cluster"
     )
-    labels = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
-        .persist()
-    )
-    converged = False
-    for _ in range(50):  # diameter bound; near-dup graphs are shallow
-        neigh = (
-            edges.join(labels, edges["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("cluster").alias("ncluster"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["id"] == neigh["u"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["cluster"],
-                    F.coalesce(F.col("ncluster"), labels["cluster"]),
-                ).alias("cluster"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("id", F.col("cluster").alias("old")), "id")
-            .filter(F.col("cluster") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # silent partial labels would diverge from the oracle's transitive
-        # closure — fail loudly instead
-        raise RuntimeError(
-            "d7_neardup_clusters: min-label propagation did not converge in "
-            "50 rounds (component diameter > 50) — raise the bound or switch "
-            "to large-star/small-star contraction"
-        )
-    # truncate lineage so the caches can be released before returning
-    out = labels.select(F.col("id").alias("doc_id"), "cluster").localCheckpoint(
-        eager=True
-    )
-    labels.unpersist()
-    edges.unpersist()
-    return out
 
 
 _D9_ORACLE = """

@@ -323,28 +323,62 @@ def t8_repetition_stats(spark, sf_dir):
     composed keep gate. Everything is per-row higher-order array math —
     zero shuffles, stays in whole-stage codegen, so at 100 TB this is a
     pure map over the corpus scan (the same shape the reference's per-page
-    field cleanup takes in /root/reference/zjj_sz_gov_cn.py:160-208)."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    top_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda u: F.size(F.filter(toks, lambda x: x == u)),
-            )
-        )
-        * 1.0
-        / n
+    field cleanup takes in /root/reference/zjj_sz_gov_cn.py:160-208).
+
+    Per-row cost is O(L log L), not O(L²): the most-common-token count is
+    the max run length of `array_sort(toks)` (one aggregate pass), and the
+    distinct-bigram count is the number of value transitions in the sorted
+    bigram array (one aggregate pass) — a 100k-token document costs one
+    sort + two linear scans instead of the distinct×length filter and the
+    quadratic-worst-case array_distinct the r3 form used. Two traps this
+    form avoids: (1) the token array is materialized as a column BEFORE
+    any lambda touches it — `element_at(split(text), i)` inside a
+    transform re-evaluates the split per element (measured: one 50k-token
+    doc never finished); bigrams come from `zip_with` over two slices of
+    the materialized array instead. (2) The "" initial sentinel is safe in
+    both passes: an empty first TOKEN (double spaces) still yields
+    run=0+1=1, and a bigram always contains the joining space so it can
+    never equal "".
+    """
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
     )
-    bg = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+    toks = F.col("toks")
+    n = F.size(toks)
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_frac = top_count * 1.0 / n
+    bg = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_distinct_bg = F.aggregate(
+        F.array_sort(bg),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("cnt")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (acc["cnt"] + F.when(x == acc["prev"], 0).otherwise(1)).alias("cnt"),
+        ),
+        lambda acc: acc["cnt"],
     )
     dup_bg = F.when(
-        n >= 2, 1.0 - F.size(F.array_distinct(bg)) * 1.0 / (n - 1)
+        n >= 2, 1.0 - n_distinct_bg * 1.0 / (n - 1)
     ).otherwise(F.lit(0.0))
     mwl = F.length(F.regexp_replace("text", " ", "")) * 1.0 / n
     keep = (top_frac <= 0.12) & (dup_bg <= 0.06) & mwl.between(3.0, 10.0)

@@ -77,3 +77,77 @@ def test_decile_sketch_plan_has_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_t8_long_document_bounded_time(spark, tmp_path):
+    """t8's per-row cost must be O(L log L), not O(L²): a single 50k-token
+    document with ~49k DISTINCT tokens (the worst case for the r3
+    distinct×filter form — ~2.5e9 string compares) must produce exact
+    Gopher stats in seconds. Token layout: w0..w48999 then "dup"×1000, so
+    the expected values are closed-form."""
+    import time
+
+    n_uniq, n_dup = 49_000, 1_000
+    toks = [f"w{i}" for i in range(n_uniq)] + ["dup"] * n_dup
+    n = n_uniq + n_dup
+    text = " ".join(toks)
+    d = str(tmp_path / "t8world")
+    spark.createDataFrame(
+        [(1, text, "en", "synth", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    t0 = time.monotonic()
+    row = QUERIES["t8_repetition_stats"](spark, d).collect()[0]
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"t8 took {elapsed:.1f}s on one 50k-token doc"
+
+    # top token: "dup" ×1000 of 50000
+    assert row["top_token_frac"] == round(n_dup / n, 4)
+    # distinct bigrams: 48999 w-chain + (w48999,dup) + (dup,dup) = 49001
+    n_distinct_bg = (n_uniq - 1) + 1 + 1
+    assert row["dup_bigram_frac"] == round(1.0 - n_distinct_bg / (n - 1), 4)
+    chars = len(text.replace(" ", ""))
+    assert row["mean_word_len"] == round(chars / n, 4)
+
+
+def test_star_contraction_deep_chain(spark):
+    """d7's fallback path: a planted 60-link chain (diameter far beyond a
+    small propagation bound) must still cluster to its minimum via
+    large-star/small-star contraction in logarithmic rounds — both through
+    the connected_components() dispatcher (prop_rounds too small → falls
+    back) and through cc_star_contraction() directly."""
+    from spider_spark.operators.dedup import (
+        cc_star_contraction,
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(60)]       # component {0..60}
+    extra = [(100, 101), (101, 102), (200, 201)]  # two shallow components
+    edges = spark.createDataFrame(chain + extra, "u long, v long")
+
+    for labels in (
+        connected_components(edges, prop_rounds=3),
+        cc_star_contraction(edges),
+    ):
+        got = {r["id"]: r["cluster"] for r in labels.collect()}
+        assert got == {
+            **{i: 0 for i in range(61)},
+            **{i: 100 for i in (100, 101, 102)},
+            **{i: 200 for i in (200, 201)},
+        }
+
+
+def test_connected_components_shallow_stays_on_propagation(spark):
+    """The common case (shallow near-dup components) must converge inside
+    the propagation loop — same labels, no contraction needed."""
+    from spider_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 10)], "u long, v long"
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components(edges, prop_rounds=10).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
