@@ -125,14 +125,15 @@ def run_crawl_scaling() -> dict:
     post = machine_ceiling(2, 8)
     # context for a throttled-window reading: raw efficiency divided by the
     # best ceiling any probe saw around the run — how much of what the host
-    # could physically express the engine captured (1.0 = all of it)
-    best_ceiling = max(
-        p["ceiling_efficiency"] for p in [preflight, post] + resample_probes
-    )
+    # could physically express the engine captured (1.0 = all of it; a >1
+    # raw ratio means the probes sampled a throttled window, which
+    # ceiling_context caps and flags instead of reporting bare)
+    from spider_spark.bench_crawl import ceiling_context
+
     return {
         **levels,
         "scaling_efficiency_2_to_8": _eff(),
-        "efficiency_over_machine_ceiling": round(_eff() / best_ceiling, 3),
+        **ceiling_context(_eff(), [preflight, post] + resample_probes),
         "machine_ceiling_preflight": preflight,
         "machine_ceiling_resample": resample_probes,
         "machine_ceiling_2_to_8": post,
@@ -188,6 +189,9 @@ def main() -> None:
             for k in (
                 "scaling_efficiency_1_to_4_executors",
                 "efficiency_over_machine_ceiling",
+                "efficiency_over_machine_ceiling_raw",
+                "ceiling_probe_throttled_relative_to_run",
+                "machine_ceiling_best",
             )
             if k in s
         }
