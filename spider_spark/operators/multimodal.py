@@ -1,12 +1,14 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libs in this container): a
-deterministic fake decoder derives "pixels" from the payload bytes, and
-``decode_image_real`` raises NotImplementedError with the intended library
-call documented. Everything Spark-side — schema, partitioning, UDF
-signature, batch shape — is real and tested, so swapping in a real decoder
-is a one-function change.
+Two decode paths: ``decode_image_real`` is UN-GATED for PNG via the stdlib
+zlib codec (:mod:`spider_spark.operators.png` — enough for the reference's
+own tile PNGs; other formats would go to Pillow, absent here), and the
+deterministic fake decoder derives "pixels" from the payload bytes so the
+feature pipeline stays SQL-expressible for the DuckDB value-hash oracle.
+Video frame decode remains the one documented stub (no video lib in this
+container). Everything Spark-side — schema, partitioning, UDF signature,
+batch shape — is real and tested.
 """
 
 from __future__ import annotations
