@@ -65,6 +65,7 @@ def _register_all():
         asof,
         coords,
         dedup,
+        graph,
         multimodal,
         rangejoin,
         relational,

@@ -151,3 +151,38 @@ def test_connected_components_shallow_stays_on_propagation(spark):
         for r in connected_components(edges, prop_rounds=10).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pagerank_plan_broadcasts_ranks_no_cartesian(spark, sf_dir):
+    """g1's per-iteration join of the |hosts|-sized rank table onto edges
+    must broadcast (never shuffle the edge table on src), and nothing in
+    the 5-iteration plan may degenerate to a cartesian."""
+    from spider_spark.operators import QUERIES
+
+    plan = (
+        QUERIES["g1_host_pagerank"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # hosts join, deg join, 5 rank joins, final name join are all broadcast
+    assert plan.count("BroadcastHashJoin") >= 7
+
+
+def test_pagerank_mass_conservation_bound(spark, sf_dir):
+    """Fixed-point PageRank: total rank stays within (teleport + damped)
+    bounds — floor division only ever loses mass, never creates it."""
+    from spider_spark.operators import QUERIES
+
+    rows = QUERIES["g1_host_pagerank"](spark, sf_dir).collect()
+    total = sum(r["pr"] for r in rows)
+    assert 0 < total <= 10**12
+    # ranks differ across hosts (the derived graph is not regular)
+    assert len({r["pr"] for r in rows}) > 1
+    # rk is a dense ranking aligned with pr descending
+    by_pr = sorted(rows, key=lambda r: -r["pr"])
+    for a, b in zip(by_pr, by_pr[1:]):
+        assert (a["rk"] < b["rk"]) == (a["pr"] > b["pr"])
+        assert (a["rk"] == b["rk"]) == (a["pr"] == b["pr"])
