@@ -43,6 +43,48 @@ _SCALE = 10**12
 _DAMP_NUM, _DAMP_DEN = 85, 100
 _ITERS = 5
 
+# Shared derived-graph CTEs: dense host ids + one edge per document
+# (dst = pmod(Spark hash(doc_id), |hosts|)), used by every g* oracle.
+_GRAPH_CTES = f"""
+hosts AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS host_id
+  FROM (SELECT DISTINCT source FROM documents)
+),
+hn AS (SELECT COUNT(*) AS h FROM hosts),
+hashed AS (
+  SELECT doc_id, source, {hashlong_aliases("doc_id", "42", "mh", "g")}
+  FROM documents
+),
+edges0 AS (
+  SELECT hs.host_id AS src, ((d.mh % hn.h) + hn.h) % hn.h AS dst
+  FROM hashed d JOIN hosts hs ON hs.source = d.source CROSS JOIN hn
+)"""
+
+
+def _derived_graph(spark, sf_dir: str):
+    """(hosts, edges0) — dense host ids and the per-document edge multiset,
+    the Spark twin of ``_GRAPH_CTES``. The row_number window runs over the
+    distinct-host table only (domain cardinality), never the documents."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy("source")
+    hosts = (
+        d.select("source")
+        .distinct()
+        .select("source", (F.row_number().over(w) - 1).alias("host_id"))
+    )
+    n_hosts = hosts.count()
+    edges0 = (
+        d.join(F.broadcast(hosts), "source")
+        .select(
+            F.col("host_id").alias("src"),
+            F.pmod(F.hash("doc_id"), F.lit(n_hosts)).alias("dst"),
+        )
+    )
+    return hosts, n_hosts, edges0
+
 
 def _oracle() -> str:
     iters = []
@@ -60,19 +102,7 @@ def _oracle() -> str:
     ) i ON i.host_id = hs.host_id
   )""")
     return f"""
-WITH hosts AS (
-  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS host_id
-  FROM (SELECT DISTINCT source FROM documents)
-),
-hn AS (SELECT COUNT(*) AS h FROM hosts),
-hashed AS (
-  SELECT doc_id, source, {hashlong_aliases("doc_id", "42", "mh", "g")}
-  FROM documents
-),
-edges0 AS (
-  SELECT hs.host_id AS src, ((d.mh % hn.h) + hn.h) % hn.h AS dst
-  FROM hashed d JOIN hosts hs ON hs.source = d.source CROSS JOIN hn
-),
+WITH {_GRAPH_CTES},
 edges AS (
   SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg FROM edges0
 ),
@@ -90,22 +120,7 @@ def g1_host_pagerank(spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    d = load(spark, sf_dir, "documents")
-    w = Window.orderBy("source")
-    hosts = (
-        d.select("source")
-        .distinct()
-        .select("source", (F.row_number().over(w) - 1).alias("host_id"))
-    )
-    n_hosts = hosts.count()
-
-    edges = (
-        d.join(F.broadcast(hosts), "source")
-        .select(
-            F.col("host_id").alias("src"),
-            F.pmod(F.hash("doc_id"), F.lit(n_hosts)).alias("dst"),
-        )
-    )
+    hosts, n_hosts, edges = _derived_graph(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Lazily returned, so no persist here: each iteration re-derives the
     # (column-pruned) edge subtree. In a materialized production run you
@@ -142,3 +157,95 @@ def g1_host_pagerank(spark, sf_dir: str):
         )
     )
     return out
+
+
+_G2_ORACLE = f"""
+WITH {_GRAPH_CTES},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges0 WHERE src <> dst
+),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+  ) GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM und e
+  JOIN deg du ON du.n = e.u
+  JOIN deg dv ON dv.n = e.v
+),
+tri AS (
+  SELECT o1.a AS x, o1.b AS y, o2.b AS z
+  FROM o o1
+  JOIN o o2 ON o2.a = o1.b
+  JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b
+),
+part AS (
+  SELECT n, COUNT(*) AS c FROM (
+    SELECT x AS n FROM tri UNION ALL
+    SELECT y AS n FROM tri UNION ALL
+    SELECT z AS n FROM tri
+  ) GROUP BY n
+)
+SELECT hs.source, COALESCE(p.c, 0)::BIGINT AS n_tri
+FROM hosts hs LEFT JOIN part p ON p.n = hs.host_id
+"""
+
+
+@query("g2_triangle_count", _G2_ORACLE)
+def g2_triangle_count(spark, sf_dir: str):
+    """Per-host triangle participation over the derived undirected host
+    graph, via degree orientation: every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, so each triangle is
+    enumerated exactly once as a→b→c with a<b<c in rank order, and each
+    node's out-degree is bounded by O(sqrt(|E|)) — the join fan-out stays
+    bounded on power-law web graphs where a raw wedge join on hot vertices
+    would explode (cf. Suri & Vassilvitskii, WWW'11). Two equi-joins, both
+    on node keys; integer counts only, so the cross-engine hash is exact.
+    """
+    from pyspark.sql import functions as F
+
+    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+
+    und = (
+        edges0.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(F.broadcast(deg).select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(F.broadcast(deg).select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    o1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    o2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    o3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = o1.join(o2, "y").join(o3, ["x", "z"])
+    part = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        hosts.join(part, hosts["host_id"] == part["n"], "left")
+        .select("source", F.coalesce("c", F.lit(0)).alias("n_tri"))
+    )

@@ -186,3 +186,59 @@ def test_pagerank_mass_conservation_bound(spark, sf_dir):
     for a, b in zip(by_pr, by_pr[1:]):
         assert (a["rk"] < b["rk"]) == (a["pr"] > b["pr"])
         assert (a["rk"] == b["rk"]) == (a["pr"] == b["pr"])
+
+
+def test_triangle_count_known_graph(spark):
+    """Degree-orientation triangle counting on a hand-checked graph:
+    K4 on {0,1,2,3} (4 triangles, each node in 3) plus a pendant 3-4
+    (node 4 in none)."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators.graph import g2_triangle_count  # noqa: F401
+    # exercise the orientation pipeline directly on a fixed edge set
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b] + [(3, 4), (4, 3)],
+        "src long, dst long",
+    )
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lo = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(lo, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    o1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    o2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    o3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = o1.join(o2, "y").join(o3, ["x", "z"]).collect()
+    assert len(tri) == 4  # K4 has exactly 4 triangles, pendant adds none
+    seen = {tuple(sorted((r["x"], r["y"], r["z"]))) for r in tri}
+    assert seen == {(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)}
+
+
+def test_triangle_plan_no_cartesian(spark, sf_dir):
+    from spider_spark.operators import QUERIES
+
+    plan = (
+        QUERIES["g2_triangle_count"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
