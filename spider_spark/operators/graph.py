@@ -249,3 +249,175 @@ def g2_triangle_count(spark, sf_dir: str):
         hosts.join(part, hosts["host_id"] == part["n"], "left")
         .select("source", F.coalesce("c", F.lit(0)).alias("n_tri"))
     )
+
+
+_G3_ORACLE = f"""
+WITH RECURSIVE {_GRAPH_CTES},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges0 WHERE src <> dst
+),
+sym AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u
+),
+lab AS (SELECT u AS n, least(u, min(v)) AS comp FROM reach GROUP BY u),
+full_lab AS (
+  SELECT hs.source, COALESCE(l.comp, hs.host_id) AS comp
+  FROM hosts hs LEFT JOIN lab l ON l.n = hs.host_id
+)
+SELECT source, comp,
+       CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size
+FROM full_lab
+"""
+
+
+@query("g3_host_components", _G3_ORACLE)
+def g3_host_components(spark, sf_dir: str):
+    """Connected components over the undirected derived host graph — the
+    "site cluster" view of a crawl (which hosts are mutually reachable
+    through links, cf. the reference's catalog→layer→tile discovery chain
+    in /root/reference/suplicmap_tilemap.py:33-96). Reuses
+    :func:`spider_spark.operators.dedup.connected_components` — min-label
+    propagation with the large-star/small-star contraction fallback, so a
+    web-scale graph with a deep component still terminates in logarithmic
+    rounds. Hosts with no (non-loop) edge are singleton components of
+    themselves. Labels are integer host ids, so the cross-engine value
+    hash is exact; the oracle is a DuckDB recursive-CTE transitive
+    closure over the identical derived edge set.
+
+    Scale shape: component labels live at host (domain) cardinality —
+    millions of rows, broadcastable — while the documents table is touched
+    exactly once to derive the edge multiset. comp_size is a window over
+    the host-cardinality table only, partitioned by component.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators.dedup import connected_components
+
+    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+    e = (
+        edges0.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    labels = connected_components(e)
+    out = (
+        hosts.join(labels, hosts["host_id"] == labels["id"], "left")
+        .select(
+            "source",
+            F.coalesce(F.col("cluster"), F.col("host_id")).alias("comp"),
+        )
+    )
+    return out.select(
+        "source",
+        "comp",
+        F.count(F.lit(1)).over(Window.partitionBy("comp")).alias("comp_size"),
+    )
+
+
+_HITS_SCALE = 10**9
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    steps = []
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+  araw{k} AS (
+    SELECT e.dst AS host_id, CAST(SUM(h.hub) AS BIGINT) AS raw
+    FROM edges0 e JOIN h{k - 1} h ON h.host_id = e.src GROUP BY e.dst
+  ),
+  atot{k} AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM araw{k}),
+  a{k} AS (
+    SELECT hs.host_id,
+           CAST(COALESCE(r.raw // NULLIF(t.t // {_HITS_SCALE}, 0), 0)
+                AS BIGINT) AS auth
+    FROM hosts hs CROSS JOIN atot{k} t
+    LEFT JOIN araw{k} r ON r.host_id = hs.host_id
+  ),
+  hraw{k} AS (
+    SELECT e.src AS host_id, CAST(SUM(a.auth) AS BIGINT) AS raw
+    FROM edges0 e JOIN a{k} a ON a.host_id = e.dst GROUP BY e.src
+  ),
+  htot{k} AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM hraw{k}),
+  h{k} AS (
+    SELECT hs.host_id,
+           CAST(COALESCE(r.raw // NULLIF(t.t // {_HITS_SCALE}, 0), 0)
+                AS BIGINT) AS hub
+    FROM hosts hs CROSS JOIN htot{k} t
+    LEFT JOIN hraw{k} r ON r.host_id = hs.host_id
+  )""")
+    return f"""
+WITH {_GRAPH_CTES},
+h0 AS (SELECT host_id, {_HITS_SCALE}::BIGINT AS hub FROM hosts),{",".join(steps)}
+SELECT hs.source, a.auth, h.hub
+FROM hosts hs
+JOIN a{_HITS_ITERS} a ON a.host_id = hs.host_id
+JOIN h{_HITS_ITERS} h ON h.host_id = hs.host_id
+"""
+
+
+@query("g4_hits", _hits_oracle())
+def g4_hits(spark, sf_dir: str):
+    """HITS hubs-and-authorities over the derived directed host graph
+    (Kleinberg, JACM'99) in **fixed-point bigint arithmetic**: each half-
+    iteration is one broadcast join of the host-cardinality score vector
+    onto the edge multiset plus ONE map-side-combinable integer SUM keyed
+    on the opposite endpoint; normalization divides by (total // SCALE)
+    so every intermediate stays within int64 (max |edges|*SCALE ≈ 1e19
+    headroom at SCALE=1e9) and both engines floor-divide identically —
+    a float HITS would flip the driver's value hash on summation order.
+    Hosts with no in-links (auth) or out-links (hub) score 0 via the
+    LEFT JOIN + COALESCE, same convention both sides.
+
+    Scale shape: scores are |hosts|-sized and broadcast; the edge table
+    is the only big operand and is never re-shuffled — each half-step is
+    a broadcast hash join + one aggregate exchange keyed on a host id.
+    """
+    from pyspark.sql import functions as F
+
+    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+    edges0 = edges0.localCheckpoint(eager=True)
+
+    def _normalize(raw, col):
+        tot = raw.agg(F.sum("raw").cast("long").alias("t"))
+        return (
+            hosts.select("host_id")
+            .crossJoin(F.broadcast(tot))
+            .join(F.broadcast(raw), "host_id", "left")
+            .select(
+                "host_id",
+                F.coalesce(
+                    F.expr(f"raw div nullif(t div {_HITS_SCALE}, 0)"),
+                    F.lit(0).cast("long"),
+                ).alias(col),
+            )
+        )
+
+    hub = hosts.select("host_id", F.lit(_HITS_SCALE).cast("long").alias("hub"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            edges0.join(F.broadcast(hub), edges0["src"] == hub["host_id"])
+            .groupBy(edges0["dst"].alias("host_id"))
+            .agg(F.sum("hub").cast("long").alias("raw"))
+        )
+        auth = _normalize(araw, "auth")
+        hraw = (
+            edges0.join(F.broadcast(auth), edges0["dst"] == auth["host_id"])
+            .groupBy(edges0["src"].alias("host_id"))
+            .agg(F.sum("auth").cast("long").alias("raw"))
+        )
+        hub = _normalize(hraw, "hub")
+
+    return (
+        hosts.join(F.broadcast(auth), "host_id")
+        .join(F.broadcast(hub), "host_id")
+        .select("source", "auth", "hub")
+    )

@@ -421,3 +421,93 @@ def ann_lsh_bucketed(spark, sf_dir):
             F.round("cos_sim", 4).alias("cos_sim"),
         )
     )
+
+
+_RRF_SCALE = 10**6
+_RRF_K = 60
+
+
+def _rrf_oracle_sql() -> str:
+    rank = (
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor)"
+    )
+    return f"""
+    WITH ivf AS ({_ivf_oracle_sql()}),
+    lshr AS ({_lsh_oracle_sql()}),
+    ri AS (SELECT query_id, neighbor, {rank} AS rk FROM ivf),
+    rl AS (SELECT query_id, neighbor, {rank} AS rk FROM lshr),
+    u AS (
+      SELECT COALESCE(ri.query_id, rl.query_id) AS query_id,
+             COALESCE(ri.neighbor, rl.neighbor) AS neighbor,
+             CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + ri.rk), 0)
+                  + COALESCE({_RRF_SCALE} // ({_RRF_K} + rl.rk), 0)
+                  AS BIGINT) AS rrf,
+             CAST((ri.rk IS NOT NULL)::INT + (rl.rk IS NOT NULL)::INT
+                  AS BIGINT) AS n_lists
+      FROM ri FULL OUTER JOIN rl
+        ON rl.query_id = ri.query_id AND rl.neighbor = ri.neighbor
+    )
+    SELECT query_id, neighbor, rrf, n_lists,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, neighbor) AS BIGINT) AS fused_rank
+    FROM u
+    """
+
+
+@query("ann_rrf_fusion", _rrf_oracle_sql())
+def ann_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of the two ANN
+    retrieval paths — IVF and multi-probe LSH — the standard way a real
+    retrieval stack combines heterogeneous candidate generators without
+    comparable scores. Score = Σ_lists SCALE // (60 + rank) in **integer
+    arithmetic** (a float 1/(60+r) sum would hash-differ on addition
+    order), ranks taken over each list's (rounded cos_sim DESC, neighbor)
+    ordering so both engines rank identical values identically.
+
+    Scale shape: both input lists are per-query top-k — output cardinality
+    is queries×(≤2k) regardless of corpus size; the fusion join and both
+    window ranks run on that tiny relation, never on the corpus.
+    """
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "neighbor"
+    )
+    contrib = F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rk)")
+    ri = (
+        ann_ivf(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(rank_w))
+        .select("query_id", "neighbor", F.col("rk").alias("rk_i"))
+    )
+    rl = (
+        ann_lsh_bucketed(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(rank_w))
+        .select(
+            F.col("query_id").alias("query_id_l"),
+            F.col("neighbor").alias("neighbor_l"),
+            F.col("rk").alias("rk_l"),
+        )
+    )
+    u = ri.join(
+        rl,
+        (ri["query_id"] == rl["query_id_l"]) & (ri["neighbor"] == rl["neighbor_l"]),
+        "full_outer",
+    ).select(
+        F.coalesce("query_id", "query_id_l").alias("query_id"),
+        F.coalesce("neighbor", "neighbor_l").alias("neighbor"),
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rk_i)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rk_l)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf"),
+        (
+            F.col("rk_i").isNotNull().cast("int")
+            + F.col("rk_l").isNotNull().cast("int")
+        ).cast("long").alias("n_lists"),
+    )
+    fused_w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor")
+    return u.withColumn(
+        "fused_rank", F.row_number().over(fused_w).cast("long")
+    )

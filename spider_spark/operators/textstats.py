@@ -825,3 +825,77 @@ def t16_token_familiarity(spark, sf_dir):
             ).alias("familiarity"),
         )
     )
+
+
+_T17_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT)            AS n_words,
+         CAST(length(replace(text, ' ', '')) AS BIGINT)          AS sum_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> length(x) > 20)) AS BIGINT)   AS n_giant,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x = 'the' OR x = 'a'))
+              AS BIGINT)                                         AS n_stop,
+         text LIKE '%{%'                                         AS has_brace,
+         contains(lower(text), 'lorem ipsum')                    AS has_lorem
+  FROM documents
+)
+SELECT doc_id, n_words,
+       n_words >= 50 AND n_words <= 100000           AS r_word_count,
+       sum_len >= 3 * n_words
+         AND sum_len <= 10 * n_words                 AS r_mean_word_len,
+       n_giant = 0                                   AS r_no_giant_words,
+       n_stop >= 2                                   AS r_stopwords,
+       NOT has_brace                                 AS r_no_brace,
+       NOT has_lorem                                 AS r_no_lorem,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+         AND n_giant = 0 AND n_stop >= 2
+         AND NOT has_brace AND NOT has_lorem         AS keep
+FROM f
+"""
+
+
+@query("t17_c4_rules", _T17_ORACLE)
+def t17_c4_rules(spark, sf_dir):
+    """C4/Gopher-style document-level quality RULES (Raffel et al. 2020
+    §2.2; Rae et al. 2021 Gopher rules A.1.1) as per-rule boolean verdicts
+    plus the conjunction `keep` — the filter-with-audit-trail shape a real
+    pipeline wants (you keep the per-rule flags so removal reasons are
+    aggregable). Rules that need sentence/line structure are applied at
+    document grain here (the synthetic corpus has no newlines; a real
+    corpus splits on '\\n' first — cf. d9's chunking note).
+
+    Everything is integer/boolean column math — mean-word-length bounds
+    are cross-multiplied (sum_len vs 3·n and 10·n) so no float division
+    can flip the cross-engine hash — and the whole operator is a single
+    zero-shuffle projection that stays in whole-stage codegen.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    n_giant = F.size(F.filter(toks, lambda x: F.length(x) > 20)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a"))).cast(
+        "long"
+    )
+    has_brace = F.col("text").contains("{")
+    has_lorem = F.lower("text").contains("lorem ipsum")
+    r_wc = (n_words >= 50) & (n_words <= 100000)
+    r_mwl = (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+    r_giant = n_giant == 0
+    r_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_giant.alias("r_no_giant_words"),
+        r_stop.alias("r_stopwords"),
+        (~has_brace).alias("r_no_brace"),
+        (~has_lorem).alias("r_no_lorem"),
+        (r_wc & r_mwl & r_giant & r_stop & ~has_brace & ~has_lorem).alias(
+            "keep"
+        ),
+    )

@@ -242,3 +242,104 @@ def test_triangle_plan_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_components_partition_the_hosts(spark, sf_dir):
+    """g3: components partition the host set — comp_size is consistent
+    within a component and sums to |hosts| over distinct components."""
+    from spider_spark.operators import QUERIES
+
+    rows = QUERIES["g3_host_components"](spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["comp"], []).append(r)
+    for comp, members in by_comp.items():
+        assert {m["comp_size"] for m in members} == {len(members)}
+    assert sum(len(m) for m in by_comp.values()) == len(rows)
+    assert len(rows) == len({r["source"] for r in rows})
+
+
+def test_host_components_plan_no_cartesian(spark, sf_dir):
+    from spider_spark.operators import QUERIES
+
+    plan = (
+        QUERIES["g3_host_components"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_normalization_and_spread(spark, sf_dir):
+    """g4: fixed-point HITS — scores are non-negative, the normalized
+    totals stay near SCALE (floor division in the normalize step divides
+    by (total // SCALE), so the sum can only drift by a rounding factor),
+    and the derived graph is irregular enough that scores differ."""
+    from spider_spark.operators import QUERIES
+    from spider_spark.operators.graph import _HITS_SCALE
+
+    rows = QUERIES["g4_hits"](spark, sf_dir).collect()
+    assert all(r["auth"] >= 0 and r["hub"] >= 0 for r in rows)
+    for col in ("auth", "hub"):
+        total = sum(r[col] for r in rows)
+        assert 0 < total <= int(_HITS_SCALE * 1.05)
+        assert len({r[col] for r in rows}) > 1
+
+
+def test_c4_rules_keep_is_conjunction_and_discriminates(spark, sf_dir):
+    from spider_spark.operators import QUERIES
+
+    rows = QUERIES["t17_c4_rules"](spark, sf_dir).collect()
+    flags = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_no_giant_words",
+        "r_stopwords",
+        "r_no_brace",
+        "r_no_lorem",
+    ]
+    for r in rows:
+        assert r["keep"] == all(r[f] for f in flags)
+    kept = sum(r["keep"] for r in rows)
+    # the fixture's 10-99-word docs straddle the 50-word C4 floor, so the
+    # rule set must actually discriminate — a degenerate all-keep (or
+    # all-drop) run means the rules silently stopped binding
+    assert 0 < kept < len(rows)
+
+
+def test_rrf_fusion_matches_python_recompute(spark, sf_dir):
+    """ann_rrf_fusion == RRF recomputed in pure Python from the two
+    ranked lists it fuses (integer contributions, same tie-breaks)."""
+    from spider_spark.operators import QUERIES
+    from spider_spark.operators.similarity import _RRF_K, _RRF_SCALE
+
+    def ranked(name):
+        rows = QUERIES[name](spark, sf_dir).collect()
+        out = {}
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: (-r["cos_sim"], r["neighbor"]))
+            for i, r in enumerate(rs, start=1):
+                out[(q, r["neighbor"])] = i
+        return out
+
+    ri = ranked("ann_ivf")
+    rl = ranked("ann_lsh_bucketed")
+    expected = {}
+    for key in set(ri) | set(rl):
+        s = 0
+        n = 0
+        for lst in (ri, rl):
+            if key in lst:
+                s += _RRF_SCALE // (_RRF_K + lst[key])
+                n += 1
+        expected[key] = (s, n)
+    got = {
+        (r["query_id"], r["neighbor"]): (r["rrf"], r["n_lists"])
+        for r in QUERIES["ann_rrf_fusion"](spark, sf_dir).collect()
+    }
+    assert got == expected
