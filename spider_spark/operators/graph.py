@@ -421,3 +421,61 @@ def g4_hits(spark, sf_dir: str):
         .join(F.broadcast(hub), "host_id")
         .select("source", "auth", "hub")
     )
+
+
+_G5_ORACLE = f"""
+WITH {_GRAPH_CTES},
+outd AS (
+  SELECT src AS host_id, CAST(COUNT(*) AS BIGINT) AS out_deg,
+         CAST(COUNT(DISTINCT dst) AS BIGINT) AS out_distinct
+  FROM edges0 GROUP BY src
+),
+ind AS (
+  SELECT dst AS host_id, CAST(COUNT(*) AS BIGINT) AS in_deg,
+         CAST(COUNT(DISTINCT src) AS BIGINT) AS in_distinct
+  FROM edges0 GROUP BY dst
+)
+SELECT hs.source,
+       COALESCE(o.out_deg, 0)      AS out_deg,
+       COALESCE(o.out_distinct, 0) AS out_distinct,
+       COALESCE(i.in_deg, 0)       AS in_deg,
+       COALESCE(i.in_distinct, 0)  AS in_distinct
+FROM hosts hs
+LEFT JOIN outd o ON o.host_id = hs.host_id
+LEFT JOIN ind  i ON i.host_id = hs.host_id
+"""
+
+
+@query("g5_host_degrees", _G5_ORACLE)
+def g5_host_degrees(spark, sf_dir: str):
+    """Per-host degree profile over the derived directed host graph —
+    out/in multi-edge degree and distinct-neighbor degree, the first
+    thing a crawl operator reads off a link graph (fan-out, fan-in, and
+    how much of each is duplicate linking). Two map-side-combinable
+    aggregates over the edge multiset, broadcast-joined back onto the
+    |hosts|-sized name table; the documents table is scanned once to
+    derive the edges and never shuffled on anything but the host id.
+    Pure integer counts — the cross-engine value hash is exact.
+    """
+    from pyspark.sql import functions as F
+
+    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+    outd = edges0.groupBy(F.col("src").alias("host_id")).agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.countDistinct("dst").alias("out_distinct"),
+    )
+    ind = edges0.groupBy(F.col("dst").alias("host_id")).agg(
+        F.count(F.lit(1)).alias("in_deg"),
+        F.countDistinct("src").alias("in_distinct"),
+    )
+    return (
+        hosts.join(F.broadcast(outd), "host_id", "left")
+        .join(F.broadcast(ind), "host_id", "left")
+        .select(
+            "source",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("out_distinct", F.lit(0)).alias("out_distinct"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("in_distinct", F.lit(0)).alias("in_distinct"),
+        )
+    )

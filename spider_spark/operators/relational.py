@@ -777,6 +777,32 @@ def u5_intersect(spark, sf_dir):
     return early.intersect(late)
 
 
+@query(
+    "u6_except_all",
+    """
+    SELECT l_suppkey AS suppkey FROM lineitem
+    EXCEPT ALL
+    SELECT s_suppkey AS suppkey FROM supplier
+    """,
+)
+def u6_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag-semantics difference (each left occurrence consumes
+    at most one matching right occurrence), the multiset dual of u2's
+    distinct EXCEPT: re-fetch queues where the SAME url can be pending
+    multiple times and one completion retires one attempt
+    (/root/reference/suplicmap_vector2.py:134-141 pops one failure per
+    success). Spark plans ``exceptAll`` as a count-difference generate —
+    one exchange per side on the row key, no join blowup; identical
+    multiset semantics to DuckDB's EXCEPT ALL."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey")
+    )
+    return li.exceptAll(s)
+
+
 # ---------------------------------------------------------------------------
 # F — scalar functions
 # ---------------------------------------------------------------------------

@@ -343,3 +343,27 @@ def test_rrf_fusion_matches_python_recompute(spark, sf_dir):
         for r in QUERIES["ann_rrf_fusion"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_except_all_bag_semantics(spark):
+    """u6's engine (exceptAll) on a hand-built multiset: each left
+    occurrence consumes at most one right occurrence."""
+    left = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], "suppkey long")
+    right = spark.createDataFrame([(1,), (3,), (3,)], "suppkey long")
+    got = sorted(r["suppkey"] for r in left.exceptAll(right).collect())
+    assert got == [1, 1, 2]
+
+
+def test_host_degrees_conservation(spark, sf_dir):
+    """g5: every document contributes exactly one edge, so Σ out_deg =
+    Σ in_deg = |documents|, and distinct degree never exceeds multi-edge
+    degree."""
+    from spider_spark.operators import QUERIES, load
+
+    rows = QUERIES["g5_host_degrees"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["out_deg"] for r in rows) == n_docs
+    assert sum(r["in_deg"] for r in rows) == n_docs
+    for r in rows:
+        assert r["out_distinct"] <= r["out_deg"]
+        assert r["in_distinct"] <= r["in_deg"]
