@@ -708,12 +708,21 @@ class CrawlEngine:
                 ).write.mode("overwrite").parquet(self._path("seen_blob", r))
 
     # ---------- readers for verification ----------
-    def results(self) -> DataFrame:
+    def results(self, as_of_round: int | None = None) -> DataFrame:
         """Crawled pages with their global crawl-order ``seq`` — assigned
         here (rank over (round, priority, discovery_time, url), the oracle's
         exact order) rather than stored, so every round avoids a global
-        ordering barrier. Output schema is stable across calls."""
-        last = self.last_committed_round() or 0
+        ordering barrier. Output schema is stable across calls.
+
+        ``as_of_round`` is the Iceberg-snapshot-read analog: every table in
+        the checkpoint is round-partitioned deltas under an atomic commit
+        marker, so "the results as of committed round r" is just the delta
+        union filtered to ``round <= r`` — no stored snapshot needed, and
+        the crawl-order ``seq`` of a page never changes once its round is
+        committed (the sort key is (round, priority, discovery_time, url),
+        all frozen at commit), so a time-travel read is a strict prefix of
+        the live read."""
+        last = self._resolve_round(as_of_round)
         df = self._read_delta_table("results", last)
         if df is None:
             return None
@@ -732,15 +741,49 @@ class CrawlEngine:
             "url", "seq", "text", "n_links", "fetch_priority", "round"
         )
 
-    def seen(self) -> DataFrame:
+    def _resolve_round(self, as_of_round: int | None) -> int:
+        """Validate a time-travel target: it must be a COMMITTED round (a
+        marker exists), else the read would see a torn, uncommitted delta."""
         last = self.last_committed_round() or 0
-        return self._read_delta_table("seen_delta", last)
+        if as_of_round is None:
+            return last
+        if as_of_round < 0 or as_of_round > last:
+            raise ValueError(
+                f"round {as_of_round} is not committed (last={last})"
+            )
+        return as_of_round
 
-    def dead(self) -> DataFrame:
-        last = self.last_committed_round() or 0
-        df = self._read_delta_table("dead", last)
+    def seen(self, as_of_round: int | None = None) -> DataFrame:
+        return self._read_delta_table(
+            "seen_delta", self._resolve_round(as_of_round)
+        )
+
+    def dead(self, as_of_round: int | None = None) -> DataFrame:
+        df = self._read_delta_table("dead", self._resolve_round(as_of_round))
         return df
 
-    def metrics(self) -> DataFrame:
-        last = self.last_committed_round() or 0
-        return self._read_delta_table("metrics", last)
+    def metrics(self, as_of_round: int | None = None) -> DataFrame:
+        return self._read_delta_table(
+            "metrics", self._resolve_round(as_of_round)
+        )
+
+    def lineage(self, as_of_round: int | None = None) -> DataFrame:
+        return self._read_delta_table(
+            "lineage", self._resolve_round(as_of_round)
+        )
+
+    def frontier_at(self, as_of_round: int | None = None) -> DataFrame:
+        """The pending frontier exactly as committed at round r — the one
+        table stored as a per-round SNAPSHOT rather than deltas (the
+        frontier shrinks as well as grows, so a delta union can't replay
+        it). Compaction prunes superseded snapshots to keep the
+        checkpoint O(live-frontier)-sized, so after ``compact()`` only the
+        newest round remains time-travelable — same retention contract as
+        expiring old Iceberg snapshots."""
+        r = self._resolve_round(as_of_round)
+        path = self._path("state", r)
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"frontier snapshot for round {r} was pruned by compaction"
+            )
+        return self.spark.read.parquet(path)

@@ -386,6 +386,11 @@ def g4_hits(spark, sf_dir: str):
     edges0 = edges0.localCheckpoint(eager=True)
 
     def _normalize(raw, col):
+        # materialize the |hosts|-sized raw vector before it is referenced
+        # three times (total agg, broadcast join, and the next half-step):
+        # without this each half-step re-embeds the prior subtree 3x and
+        # the plan tree grows 3^(2·iters) — ~100 join nodes by iteration 3
+        raw = raw.localCheckpoint(eager=True)
         tot = raw.agg(F.sum("raw").cast("long").alias("t"))
         return (
             hosts.select("host_id")

@@ -367,3 +367,44 @@ def test_host_degrees_conservation(spark, sf_dir):
     for r in rows:
         assert r["out_distinct"] <= r["out_deg"]
         assert r["in_distinct"] <= r["in_deg"]
+
+
+# Registered queries whose physical plan legitimately contains
+# BroadcastNestedLoopJoin — every one is a BROADCAST of a provably tiny
+# relation (a 1-row global aggregate, a fixed query set, or a constant
+# mode/grid enumeration), never a data-sized side. Exact counts pinned so
+# a new unbroadcast join or a plan regression shows up as a diff here.
+_BNLJ_WHITELIST = {
+    "ann_bruteforce_topk": 1,  # fixed query set broadcast, non-equi (<>)
+    "g4_hits": 2,              # 1-row normalization total per half-step
+    "j2_cross_modes": 1,       # constant mode enumeration
+    "j5_tile_placement": 3,    # 1-row global min-corner aggregate
+    "s6_tile_grid": 2,         # constant grid range enumeration
+    "t11_tfidf_topk": 1,       # 1-row corpus-size aggregate
+    "t16_token_familiarity": 1,  # 1-row corpus-size aggregate
+}
+
+
+def test_every_registered_query_plan_is_scale_clean(spark, sf_dir):
+    """Blanket 100-TB plan-hygiene gate over ALL registered queries: no
+    CartesianProduct anywhere (an unbroadcast cartesian is the one plan
+    shape that cannot survive a 100x scale-up), and
+    BroadcastNestedLoopJoin only where the whitelist documents a tiny
+    broadcast side, at exactly the pinned count."""
+    from spider_spark.operators import QUERIES
+
+    failures = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        cart = plan.count("CartesianProduct")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        if cart:
+            failures.append(f"{name}: {cart} CartesianProduct")
+        if bnlj != _BNLJ_WHITELIST.get(name, 0):
+            failures.append(
+                f"{name}: {bnlj} BNLJ (expected "
+                f"{_BNLJ_WHITELIST.get(name, 0)})"
+            )
+    assert not failures, failures
