@@ -115,26 +115,66 @@ def write_warc(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.warc")
-        tmp = fname + ".tmp"
+        base = f"part-{pid:05d}"
+        fname = os.path.join(path, base + ".warc")
+        idxname = os.path.join(path, base + ".cdx")
+        tmp, idxtmp = fname + ".tmp", idxname + ".tmp"
         wrote = False
-        with open(tmp, "wb") as f:
+        offset = 0
+        with open(tmp, "wb") as f, open(idxtmp, "w") as idx:
             for row in rows:
                 payload = row[payload_col]
                 if isinstance(payload, str):
                     payload = payload.encode("utf-8")
-                f.write(
-                    warc_resource_record(
-                        row[url_col], warc_date(row[ts_col]), bytes(payload)
-                    )
+                payload = bytes(payload)
+                date = warc_date(row[ts_col])
+                rec = warc_resource_record(row[url_col], date, payload)
+                f.write(rec)
+                # CDX-style index line: random access into the shard
+                # without parsing it (url ts file offset length sha1)
+                idx.write(
+                    f"{row[url_col]} {date} {base}.warc {offset} "
+                    f"{len(rec)} {hashlib.sha1(payload).hexdigest()}\n"
                 )
+                offset += len(rec)
                 wrote = True
         if wrote:
             os.replace(tmp, fname)  # atomic publish, same as the engine
+            os.replace(idxtmp, idxname)
         else:
             os.remove(tmp)
+            os.remove(idxtmp)
 
     df.select(url_col, ts_col, payload_col).foreachPartition(_write_partition)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """The sink's CDX-style index as a DataFrame — the Common-Crawl
+    url-index pattern: locate any record by url without scanning archive
+    bytes. (url, warc_date, filename, offset, length, sha1)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(os.path.join(path, "*.cdx"))
+    parts = F.split("value", " ")
+    return raw.select(
+        parts[0].alias("url"),
+        parts[1].alias("warc_date"),
+        parts[2].alias("filename"),
+        parts[3].cast("long").alias("offset"),
+        parts[4].cast("long").alias("length"),
+        parts[5].alias("sha1"),
+    )
+
+
+def fetch_record(path: str, filename: str, offset: int, length: int) -> dict:
+    """Random-access read of ONE record via its index entry: seek+read
+    exactly ``length`` bytes — the archive is never scanned. Returns the
+    parsed record."""
+    with open(os.path.join(path, filename), "rb") as f:
+        f.seek(offset)
+        data = f.read(length)
+    (rec,) = parse_warc_bytes(data)
+    return rec
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

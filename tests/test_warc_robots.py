@@ -181,3 +181,25 @@ def test_robots_bodies_to_engine_table(spark):
         "http://a.example/public/x.html": False,
         "http://b.example/anything": False,
     }
+
+
+def test_cdx_index_random_access(spark, world_dir, tmp_path):
+    """Every CDX entry seeks to exactly one parseable record whose url,
+    date, and payload digest match the index line — no archive scan."""
+    import hashlib
+
+    from spider_spark.operators.warc import fetch_record, read_cdx
+
+    pages = spark.read.parquet(os.path.join(world_dir, "pages.parquet"))
+    out = str(tmp_path / "warcs_cdx")
+    write_warc(pages.repartition(3), out)
+
+    idx = read_cdx(spark, out).collect()
+    assert len(idx) == pages.count()
+    assert len({r["url"] for r in idx}) == len(idx)
+    for r in idx[:10] + idx[-10:]:
+        rec = fetch_record(out, r["filename"], r["offset"], r["length"])
+        h = rec["headers"]
+        assert h["WARC-Target-URI"] == r["url"]
+        assert h["WARC-Date"] == r["warc_date"]
+        assert hashlib.sha1(rec["payload"]).hexdigest() == r["sha1"]
