@@ -73,3 +73,81 @@ def test_extract_total_on_malformed_html(chunks):
     assert l2 == links
     for u in links:
         assert canonicalize_url(u) == u  # links come out canonical
+
+
+# ---------------------------------------------------------------- WARC
+
+_warc_url = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x21, max_codepoint=0x7E  # printable, no whitespace
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(
+    st.lists(
+        st.tuples(_warc_url, st.binary(max_size=512)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_warc_roundtrip_arbitrary_payloads(items):
+    """Concatenated records parse back byte-exact for ARBITRARY payload
+    bytes — including payloads that embed CRLF pairs, record separators,
+    or fake 'WARC/1.0' headers."""
+    from spider_spark.operators.warc import (
+        parse_warc_bytes,
+        warc_resource_record,
+    )
+
+    date = "2024-06-01T00:00:00Z"
+    blob = b"".join(
+        warc_resource_record(u, date, p) for u, p in items
+    )
+    recs = parse_warc_bytes(blob)
+    assert [(r["headers"]["WARC-Target-URI"], r["payload"]) for r in recs] == [
+        (u, p) for u, p in items
+    ]
+
+
+# ---------------------------------------------------------- robots.txt
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_robots_parser_total(body):
+    """Never raises on arbitrary input; output shape is stable; disallow
+    prefixes are non-empty strings; crawl delay is None or >= 0."""
+    from spider_spark.engine.robots_txt import parse_robots_txt
+
+    g = parse_robots_txt(body, "spider")
+    assert set(g) == {"disallow", "allow", "crawl_delay_ms"}
+    assert all(isinstance(p, str) and p for p in g["disallow"])
+    assert g["crawl_delay_ms"] is None or g["crawl_delay_ms"] >= 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["User-agent", "user-AGENT"]),
+            st.sampled_from(["*", "spider", "other"]),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.lists(st.sampled_from(["/a/", "/b/", "/c d/"]), max_size=3),
+)
+@settings(max_examples=100, deadline=None)
+def test_robots_case_and_groups(agents, prefixes):
+    """Key case never matters; every Disallow in the matching group is
+    returned in order."""
+    from spider_spark.engine.robots_txt import parse_robots_txt
+
+    body = "\n".join(f"{k}: {v}" for k, v in agents) + "\n"
+    body += "\n".join(f"Disallow: {p}" for p in prefixes)
+    g = parse_robots_txt(body, "spider")
+    matches = any(v in ("*", "spider") for _, v in agents)
+    assert g["disallow"] == (prefixes if matches else [])
