@@ -121,6 +121,71 @@ def q5_nation_volume(spark, sf_dir):
     )
 
 
+@query(
+    "q7_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN s.s_nationkey = 2
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2)      AS nation_volume,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                                               AS total_volume,
+           round(round(sum(CASE WHEN s.s_nationkey = 2
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END), 2)
+                 / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6)
+                                               AS mkt_share
+    FROM orders o
+    JOIN customer l2c ON o.o_custkey = l2c.c_custkey
+    JOIN nation cn    ON l2c.c_nationkey = cn.n_nationkey
+    JOIN region r     ON cn.n_regionkey = r.r_regionkey
+    JOIN lineitem l   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s   ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q7_market_share(spark, sf_dir):
+    """TPC-H-Q8-shape market share: NATION_2 suppliers' volume fraction of
+    all ASIA-customer order volume per year — the two-level conditional
+    aggregate every BI layer runs. All four dimensions broadcast; the only
+    big-side exchange is orders x lineitem on orderkey (their natural
+    co-partitioning key) plus the final per-year aggregate.
+
+    Float-hash discipline: the share divides the two ALREADY-2dp-ROUNDED
+    sums (the rounding that q3/q5 prove hash-stable) and rounds the ratio
+    at 6dp — dividing identical doubles is bit-identical cross-engine,
+    where a ratio of raw parallel sums could differ in the last ulp."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nvol = F.when(F.col("s_nationkey") == 2, vol).otherwise(F.lit(0))
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(nvol), 2).alias("nation_volume"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S2 — scan-range planning (ID-window probe)
 # ---------------------------------------------------------------------------

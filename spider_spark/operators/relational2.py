@@ -555,3 +555,35 @@ def a11_unpivot_metrics(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+_W7_ORACLE = """
+SELECT doc_id, lang,
+       round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+         AS size_cdf,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+         AS size_prank
+FROM documents
+"""
+
+
+@query("w7_size_cdf", _W7_ORACLE)
+def w7_size_cdf(spark, sf_dir):
+    """Per-language empirical CDF of document size — cume_dist /
+    percent_rank window functions, the distribution-position primitive a
+    quality pipeline uses to express "drop the bottom x% by length per
+    language" without materializing quantile tables. Both functions are
+    rank-over-count ratios of integers computed identically by Spark and
+    DuckDB (k/n as one double division), so the 6dp rounding is belt and
+    braces, not a requirement. Partitioned window — each language sorts
+    independently; the 100-TB path for unbounded groups is w6's sketch."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(F.cume_dist().over(w), 6).alias("size_cdf"),
+        F.round(F.percent_rank().over(w), 6).alias("size_prank"),
+    )
