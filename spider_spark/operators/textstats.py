@@ -899,3 +899,252 @@ def t17_c4_rules(spark, sf_dir):
             "keep"
         ),
     )
+
+
+_T18_W = 32  # tokens per chunk
+_T18_S = 24  # stride (overlap = W - S)
+
+_T18_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l,
+                    len(string_split(text, ' '))    AS n
+             FROM documents),
+s AS (SELECT doc_id, l, n,
+             unnest(generate_series(0, n - 1, {_T18_S})) AS start
+      FROM tok)
+SELECT doc_id,
+       CAST(start // {_T18_S} AS BIGINT)             AS chunk_idx,
+       CAST(least({_T18_W}, n - start) AS BIGINT)    AS n_chunk_tokens,
+       array_to_string(l[start + 1 : least(start + {_T18_W}, n)], ' ')
+                                                     AS chunk_text
+FROM s
+"""
+
+
+@query("t18_chunk_windows", _T18_ORACLE)
+def t18_chunk_windows(spark, sf_dir):
+    """Fixed-size token-window chunking with overlap (W=32, stride 24 —
+    the context-window preprocessing step of an LLM training / RAG
+    pipeline): each document becomes ceil(n/stride) chunks of up to W
+    whitespace tokens, consecutive chunks sharing W-stride tokens.
+
+    Scale shape: a pure per-row flatMap — split / sequence / explode /
+    slice are all JVM column expressions inside whole-stage codegen, no
+    UDF, no shuffle, no window. Output partitioning inherits the scan, so
+    at 100 TB this is embarrassingly parallel and bounded by read+write
+    bandwidth. Chunk text is built by slicing the already-split array
+    (1-based in both engines, overrun clamped) so bytes are identical to
+    the DuckDB oracle by construction."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    e = d.select(
+        "doc_id",
+        toks.alias("l"),
+        n.alias("n"),
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(_T18_S))
+        ).alias("start"),
+    )
+    return e.select(
+        "doc_id",
+        (F.col("start") / _T18_S).cast("long").alias("chunk_idx"),
+        F.least(F.lit(_T18_W), F.col("n") - F.col("start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("l"), F.col("start") + 1, F.lit(_T18_W))
+        ).alias("chunk_text"),
+    )
+
+
+_T19_CAP = 256  # tokens per packed sequence (bin)
+_T19_BUCKET = 64  # doc_ids per prefix-sum bucket (scale knob)
+
+_T19_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang,
+                    len(string_split(text, ' ')) AS n_tokens
+             FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // {_T19_CAP} AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % {_T19_CAP} AS BIGINT)  AS bin_offset
+FROM c
+"""
+
+
+@query("t19_pack_bins", _T19_ORACLE)
+def t19_pack_bins(spark, sf_dir):
+    """Sequence packing for LLM pretraining: concatenate each language's
+    documents in doc_id order and cut the stream into CAP-token bins; a
+    document is assigned to the bin where its first token lands
+    (bin_id = exclusive-prefix-sum // CAP, bin_offset = the remainder) —
+    the standard concat-then-chunk packing layout.
+
+    Scale shape: the oracle's single window per language would serialize a
+    whole language's corpus through one task (en at 100 TB = one
+    straggler), so the Spark side computes the prefix sum DISTRIBUTED,
+    two-stage like a carry-lookahead adder: (1) group by (lang, bucket =
+    doc_id // B) → per-bucket token totals (map-side combinable, tiny
+    output), cumulated by a window over the AGGREGATED table (rows =
+    n_docs/B, safe on a single task at any corpus size with B sized to
+    taste); (2) broadcast the per-bucket carry offsets back and window
+    only WITHIN (lang, bucket) — bounded at B rows per partition, no
+    skew. Pure integer arithmetic end to end, so bit-exact vs the
+    straight-window oracle."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.col("doc_id") / _T19_BUCKET).cast("long").alias("bucket"),
+    )
+    per_bucket = tok.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias(
+            "carry"
+        ),
+    )
+    wl = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.col("carry") + F.coalesce(
+        F.sum("n_tokens").over(wl), F.lit(0)
+    )
+    return (
+        tok.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn("excl", cum_excl)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("excl") / _T19_CAP).cast("long").alias("bin_id"),
+            (F.col("excl") % _T19_CAP).cast("long").alias("bin_offset"),
+        )
+    )
+
+
+_T20_TERMS = ("scan", "join", "vector")  # fixed query-term set
+_T20_K1 = 1.2
+_T20_B = 0.75
+_T20_TOPK = 10
+
+_T20_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term,
+                    len(string_split(text, ' ')) AS dl
+             FROM documents),
+tf AS (SELECT doc_id, lang, term, dl, count(*) AS tf
+       FROM tok
+       WHERE term IN ('scan', 'join', 'vector')
+       GROUP BY 1, 2, 3, 4),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS tdl
+          FROM documents),
+s AS (SELECT t.doc_id, t.lang, t.term,
+             ((n - df + 0.5) / (df + 0.5))
+             * (t.tf * ({_T20_K1} + 1.0))
+             / (t.tf + {_T20_K1}
+                * ((1.0 - {_T20_B})
+                   + {_T20_B} * ((t.dl * n) * 1.0 / tdl))) AS sc
+      FROM tf t JOIN df USING (term) CROSS JOIN stats),
+p AS (SELECT doc_id, lang,
+             coalesce(sum(sc) FILTER (term = 'scan'), 0.0)   AS s_scan,
+             coalesce(sum(sc) FILTER (term = 'join'), 0.0)   AS s_join,
+             coalesce(sum(sc) FILTER (term = 'vector'), 0.0) AS s_vector,
+             count(*) AS n_matched
+      FROM s GROUP BY 1, 2),
+r AS (SELECT doc_id, lang, n_matched,
+             round(s_scan + s_join + s_vector, 4) AS score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY s_scan + s_join + s_vector DESC,
+                                         doc_id) AS rk
+      FROM p)
+SELECT doc_id, lang, CAST(n_matched AS BIGINT) AS n_matched, score,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_T20_TOPK}
+"""
+
+
+@query("t20_bm25_rank", _T20_ORACLE)
+def t20_bm25_rank(spark, sf_dir):
+    """BM25 retrieval scoring over a fixed query-term set with top-K per
+    language: Okapi BM25 (k1=1.2, b=0.75) with the log-free
+    Robertson–Sparck-Jones idf (same lineage as t11) so every factor is a
+    rational over exact integers — ln() ULP drift can't flip rankings.
+
+    Float discipline: the per-doc score is NOT a sum over an unordered
+    aggregate (3 doubles summed in engine-dependent order can differ in
+    the last ULP) — each query term is pivoted to its own conditionally-
+    aggregated column (each sum covers ≤1 row, hence exact) and the doc
+    score is the fixed-order expression s_scan + s_join + s_vector,
+    identical in both engines, then round(4).
+
+    Scale shape: the tf table is filtered to the query terms BEFORE the
+    groupBy, so the shuffle is |terms|·|matching docs|, not corpus-sized;
+    df over it is tiny and broadcast back; corpus stats (N, total doc
+    length) are one broadcast row. Top-K per language re-partitions by
+    lang — bounded by TOPK retention per partition under
+    TakeOrdered-style eviction."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stats = d.agg(
+        F.count("*").alias("n"), F.sum(F.size(toks)).alias("tdl")
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .filter(F.col("term").isin(*_T20_TERMS))
+        .groupBy("doc_id", "lang", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    sc = (
+        ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (_T20_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _T20_K1
+            * (
+                (1.0 - _T20_B)
+                + _T20_B
+                * ((F.col("dl") * F.col("n")) * 1.0 / F.col("tdl"))
+            )
+        )
+    )
+    terms = tf.join(F.broadcast(df), "term").crossJoin(
+        F.broadcast(stats)
+    ).withColumn("sc", sc)
+    p = terms.groupBy("doc_id", "lang").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0)
+            ).alias(f"s_{t}")
+            for t in _T20_TERMS
+        ],
+        F.count("*").alias("n_matched"),
+    )
+    total = F.col("s_scan") + F.col("s_join") + F.col("s_vector")
+    w = Window.partitionBy("lang").orderBy(F.desc(total), "doc_id")
+    return (
+        p.withColumn("score", F.round(total, 4))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _T20_TOPK)
+        .select("doc_id", "lang", "n_matched", "score", "rk")
+    )

@@ -382,6 +382,7 @@ _BNLJ_WHITELIST = {
     "s6_tile_grid": 2,         # constant grid range enumeration
     "t11_tfidf_topk": 1,       # 1-row corpus-size aggregate
     "t16_token_familiarity": 1,  # 1-row corpus-size aggregate
+    "t20_bm25_rank": 1,        # 1-row corpus stats (N, total dl) broadcast
 }
 
 
@@ -408,3 +409,124 @@ def test_every_registered_query_plan_is_scale_clean(spark, sf_dir):
                 f"{_BNLJ_WHITELIST.get(name, 0)})"
             )
     assert not failures, failures
+
+
+def test_chunk_windows_tile_and_reconstruct(spark, sf_dir):
+    """t18: chunks tile each document — chunk_idx is dense from 0, every
+    chunk's text is exactly the stride-aligned token slice, and stitching
+    the first STRIDE tokens of each chunk (all of the last) reproduces the
+    original text byte-for-byte."""
+    from spider_spark.operators import QUERIES, load
+    from spider_spark.operators.textstats import _T18_S, _T18_W
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in QUERIES["t18_chunk_windows"](spark, sf_dir).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id].split(" ")
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c["chunk_idx"] * _T18_S
+            want = toks[start : start + _T18_W]
+            assert c["chunk_text"] == " ".join(want)
+            assert c["n_chunk_tokens"] == len(want)
+        # stitching: every chunk contributes its stride window, the last
+        # contributes everything it has
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(
+                toks[c["chunk_idx"] * _T18_S : c["chunk_idx"] * _T18_S + _T18_S]
+            )
+        last = chunks[-1]
+        rebuilt.extend(toks[last["chunk_idx"] * _T18_S :])
+        assert " ".join(rebuilt) == docs[doc_id]
+
+
+def test_pack_bins_matches_sequential_recompute(spark, sf_dir):
+    """t19's distributed two-stage prefix sum must equal the sequential
+    concat-then-chunk packing recomputed in pure Python, and a bin's
+    occupants must be contiguous in doc_id order."""
+    from spider_spark.operators import QUERIES, load
+    from spider_spark.operators.textstats import _T19_CAP
+
+    docs = sorted(
+        (r["lang"], r["doc_id"], len(r["text"].split(" ")))
+        for r in load(spark, sf_dir, "documents").collect()
+    )
+    expected = {}
+    cum = {}
+    for lang, doc_id, n in docs:
+        c = cum.get(lang, 0)
+        expected[doc_id] = (lang, n, c // _T19_CAP, c % _T19_CAP)
+        cum[lang] = c + n
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in QUERIES["t19_pack_bins"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_bm25_matches_python_recompute(spark, sf_dir):
+    """t20 == BM25 recomputed in pure Python with the identical fixed-order
+    float expression (same tie-breaks, same rounding)."""
+    from spider_spark.operators import QUERIES, load
+    from spider_spark.operators.textstats import (
+        _T20_B,
+        _T20_K1,
+        _T20_TERMS,
+        _T20_TOPK,
+    )
+
+    rows = load(spark, sf_dir, "documents").collect()
+    n = len(rows)
+    tdl = sum(len(r["text"].split(" ")) for r in rows)
+    df = {t: 0 for t in _T20_TERMS}
+    per_doc = []
+    for r in rows:
+        toks = r["text"].split(" ")
+        tf = {t: toks.count(t) for t in _T20_TERMS}
+        for t in _T20_TERMS:
+            if tf[t]:
+                df[t] += 1
+        per_doc.append((r["doc_id"], r["lang"], len(toks), tf))
+    scored = {}
+    for doc_id, lang, dl, tf in per_doc:
+        if not any(tf.values()):
+            continue
+        parts = []
+        for t in _T20_TERMS:
+            if not tf[t]:
+                parts.append(0.0)
+                continue
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            parts.append(
+                idf
+                * (tf[t] * (_T20_K1 + 1.0))
+                / (
+                    tf[t]
+                    + _T20_K1
+                    * ((1.0 - _T20_B) + _T20_B * ((dl * n) * 1.0 / tdl))
+                )
+            )
+        total = parts[0] + parts[1] + parts[2]
+        scored.setdefault(lang, []).append(
+            (doc_id, sum(1 for t in _T20_TERMS if tf[t]), total)
+        )
+    expected = {}
+    for lang, lst in scored.items():
+        lst.sort(key=lambda x: (-x[2], x[0]))
+        for rk, (doc_id, n_matched, total) in enumerate(
+            lst[:_T20_TOPK], start=1
+        ):
+            expected[(doc_id, lang)] = (n_matched, round(total, 4), rk)
+    got = {
+        (r["doc_id"], r["lang"]): (r["n_matched"], r["score"], r["rk"])
+        for r in QUERIES["t20_bm25_rank"](spark, sf_dir).collect()
+    }
+    assert got == expected
