@@ -587,3 +587,89 @@ def w7_size_cdf(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("size_cdf"),
         F.round(F.percent_rank().over(w), 6).alias("size_prank"),
     )
+
+
+@query(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H-Q4-shape EXISTS aggregate: orders having at least one returned
+    lineitem, counted per priority. The correlated EXISTS decorrelates to
+    a LEFT SEMI join — the probe (orders) never duplicates however many
+    lineitems match, the build side is filtered to the 'R' flag BEFORE the
+    exchange (predicate reaches the scan), and the semi join carries only
+    l_orderkey, so neither lineitem payload nor duplicate keys cross the
+    wire. Shuffle keys: orderkey (the natural co-partitioning key), then
+    the 5-value priority aggregate is map-side combinable."""
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q8_BRANDS = ("Brand#11", "Brand#22", "Brand#33")
+
+_Q8_ORACLE = f"""
+WITH pa AS (
+  SELECT p.p_brand, l.l_quantity, l.l_extendedprice,
+         avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand IN {_Q8_BRANDS!r}
+)
+SELECT p_brand, count(*) AS n_small,
+       round(sum(l_extendedprice), 2) AS small_qty_revenue
+FROM pa WHERE l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+"""
+
+
+@query("q8_small_quantity", _Q8_ORACLE)
+def q8_small_quantity(spark, sf_dir):
+    """TPC-H-Q17-shape correlated scalar subquery (lineitems below 20 % of
+    their part's average quantity), decorrelated by hand: the per-partkey
+    average that SQL writes as `(SELECT avg(..) WHERE l_partkey =
+    p.p_partkey)` becomes a window over l_partkey AFTER the brand filter
+    — equivalent because each partkey has exactly one brand, so filtering
+    first only removes partitions the outer query never asks about.
+
+    Scale shape: part is filtered to 3 brands then BROADCAST (never
+    shuffle the fact table to meet a dim); the only big-side exchange is
+    the window's partkey hash, whose partitions are lineitems-per-part
+    (bounded, unskewed). Float discipline: l_quantity is integer-valued,
+    so the window avg is an exact-integer sum divided once — immune to
+    summation order; the final revenue sum uses the 2dp rounding q1/q3
+    prove hash-stable."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*_Q8_BRANDS))
+        .select("p_partkey", "p_brand")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+        )
+    )

@@ -530,3 +530,54 @@ def test_bm25_matches_python_recompute(spark, sf_dir):
         for r in QUERIES["t20_bm25_rank"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_priority_exists_semi_never_duplicates(spark, sf_dir):
+    """q4: EXISTS must count each order once however many lineitems match —
+    total order_count equals the number of DISTINCT orderkeys with an
+    'R'-flagged lineitem."""
+    from spider_spark.operators import QUERIES, load
+
+    got = sum(
+        r["order_count"]
+        for r in QUERIES["q4_priority_exists"](spark, sf_dir).collect()
+    )
+    li = load(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    o = load(spark, sf_dir, "orders")
+    want = (
+        o.join(li.select("l_orderkey").distinct(), o.o_orderkey == li.l_orderkey)
+        .count()
+    )
+    assert got == want
+
+
+def test_small_quantity_matches_correlated_subquery(spark, sf_dir):
+    """q8's hand-decorrelated window form == Spark's OWN correlated scalar
+    subquery over the same tables (Catalyst decorrelates independently),
+    proving the rewrite preserved subquery semantics."""
+    from spider_spark.operators import QUERIES, load
+    from spider_spark.operators.relational2 import _Q8_BRANDS
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q8_li")
+    load(spark, sf_dir, "part").createOrReplaceTempView("q8_p")
+    brands = ", ".join(f"'{b}'" for b in _Q8_BRANDS)
+    want = {
+        (r["p_brand"], r["n_small"], r["small_qty_revenue"])
+        for r in spark.sql(
+            f"""
+            SELECT p_brand, count(*) AS n_small,
+                   round(sum(l_extendedprice), 2) AS small_qty_revenue
+            FROM q8_li l JOIN q8_p p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand IN ({brands})
+              AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                  FROM q8_li l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+            GROUP BY p_brand
+            """
+        ).collect()
+    }
+    got = {
+        (r["p_brand"], r["n_small"], r["small_qty_revenue"])
+        for r in QUERIES["q8_small_quantity"](spark, sf_dir).collect()
+    }
+    assert got == want
