@@ -70,6 +70,7 @@ def _register_all():
         rangejoin,
         relational,
         relational2,
+        relational3,
         similarity,
         textstats,
     )

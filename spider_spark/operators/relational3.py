@@ -1,0 +1,343 @@
+"""Third batch of relational operators: the remaining classic TPC-H query
+shapes (customer-order distribution, top-supplier-vs-global-max, group
+share vs a global scalar, dormant-customer anti join) plus event-stream
+analytics (conversion funnel, weekly retention cohorts) over the events
+table.
+
+These widen the §2.3/§2.4 join/aggregate families with the decorrelation
+patterns a warehouse workload needs: LEFT OUTER + double aggregation,
+HAVING against a broadcast global scalar, and NOT-EXISTS-in-window as a
+left anti join. The funnel/retention pair is the product-analytics shape
+(ordered multi-stage conversion, cohorted activity) the reference's
+progress/metrics tables gesture at (/root/reference/log4p.py progress
+accounting) re-expressed as declarative plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark.operators import load, query
+
+# ---------------------------------------------------------------------------
+# q9 — TPC-H-Q13 shape: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+WITH oc AS (SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY o_custkey)
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey, coalesce(oc.c_count, 0) AS c_count
+      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey)
+GROUP BY c_count
+"""
+
+
+@query("q9_custdist", _Q9_ORACLE)
+def q9_custdist(spark, sf_dir):
+    """TPC-H-Q13-shape order-count distribution: how many customers placed
+    exactly k orders, including k = 0 (the LEFT OUTER row).
+
+    Scale shape: orders pre-aggregates to per-custkey counts FIRST (the
+    map-side-combinable form — the raw order rows never meet customer),
+    then the |customers|-sized count relation left-joins onto customer on
+    the natural custkey, and the second aggregate is over the tiny
+    (distinct c_count)-sized key space. Naively left-joining customer to
+    raw orders then double-grouping would shuffle every order row twice.
+    All-integer outputs — nothing to round."""
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(oc, c.c_custkey == oc.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — TPC-H-Q15 shape: supplier(s) with maximum window revenue
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT max(total_revenue) AS best FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey, mx
+WHERE r.total_revenue = mx.best
+"""
+
+
+@query("q10_top_supplier", _Q10_ORACLE)
+def q10_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-shape top supplier: revenue per supplier over one quarter,
+    keep the supplier(s) achieving the global maximum (the view + scalar
+    MAX subquery, decorrelated to a broadcast 1-row aggregate).
+
+    Scale shape: the shipdate predicate reaches the parquet scan, the
+    per-suppkey aggregate is map-side combinable and |suppliers|-sized,
+    the MAX is a 1-row agg CROSS-joined (broadcast) — no second pass over
+    lineitem and no window over the whole revenue relation. supplier is a
+    dim → broadcast. Float discipline: the max-equality compares the
+    2dp-ROUNDED revenue on both sides and both engines, so a ULP of
+    summation-order drift cannot disagree about who is top."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("best"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("best"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — TPC-H-Q11 shape: groups whose value exceeds a global-share threshold
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(value_cents) AS total_cents FROM pv)
+SELECT l_partkey, value_cents
+FROM pv, tot
+WHERE value_cents * 1000 > total_cents * 6
+"""
+
+
+@query("q11_important_parts", _Q11_ORACLE)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H-Q11-shape 'important stock': parts whose lineitem value
+    exceeds 0.6 % of the global total — a HAVING clause against a scalar
+    subquery over the same aggregate.
+
+    Scale shape: one map-side-combinable per-partkey aggregate; the global
+    total is a second 1-row aggregate OVER THE |parts|-SIZED RELATION (not
+    a second lineitem scan) broadcast back via crossJoin; the share test
+    is a pure filter. Float discipline: prices go to integer cents per ROW
+    (floor(x*100+0.5) — identical on the identical input double in both
+    engines, no HALF_UP-vs-HALF_EVEN ambiguity), so every sum is an int64
+    whose value is independent of partition order, and the threshold
+    compare is an exact integer cross-multiplication — no epsilon
+    anywhere."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    pv = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", cents.alias("c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("value_cents"))
+    )
+    tot = pv.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents") * 6)
+        .select("l_partkey", "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — TPC-H-Q22 shape: wealthy dormant customers (scalar avg + anti join)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+WITH ab AS (SELECT round(avg(c_acctbal), 2) AS thresh
+            FROM customer WHERE c_acctbal > 0.0),
+recent AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+SELECT n.n_name,
+       count(*)                   AS n_cust,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey, ab
+WHERE c.c_acctbal > ab.thresh
+  AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+"""
+
+
+@query("q12_dormant_customers", _Q12_ORACLE)
+def q12_dormant_customers(spark, sf_dir):
+    """TPC-H-Q22-shape: above-average-balance customers with NO recent
+    orders (dormant capital), counted per nation — the scalar-AVG
+    subquery + NOT EXISTS pattern. NOT EXISTS decorrelates to a LEFT ANTI
+    join against the distinct recent-customer keys.
+
+    Scale shape: the anti join's build side is pre-filtered by the date
+    predicate (reaches the orders scan) and reduced to DISTINCT keys
+    before the exchange; the avg threshold is a 1-row broadcast; nation
+    is a broadcast dim. Float margin: the threshold is the 2dp-rounded
+    avg, and balances carry 2 decimals, so a cross-engine disagreement
+    would need the unrounded avgs to straddle a half-cent rounding
+    boundary — ~ULP probability, same discipline q1/q3 rely on."""
+    c = load(spark, sf_dir, "customer")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("thresh")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e1 — ordered conversion funnel over the events stream
+# ---------------------------------------------------------------------------
+
+_E1_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'view' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         AND e.ts <= s2.t2 + INTERVAL 48 HOUR
+       GROUP BY e.user_id)
+SELECT stage, count(*) AS n_users FROM (
+  SELECT s1.user_id,
+         1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS stage
+  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id)
+GROUP BY stage
+"""
+
+
+@query("e1_event_funnel", _E1_ORACLE)
+def e1_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → view → purchase: each stage
+    counts only events STRICTLY AFTER the user completed the previous
+    stage and within a 48-hour conversion window (first-touch
+    attribution), then users are histogrammed by the deepest stage
+    reached. The ordered-sequence semantics is what plain per-type counts
+    can't express and what funnel products implement as a stateful scan;
+    here it is three min-aggregates chained through inequality joins.
+
+    Scale shape: every join and aggregate keys on user_id — one natural
+    co-partitioning key throughout, so AQE can reuse the exchange; the
+    stage tables shrink monotonically (s3 ⊆ s2 ⊆ s1). The per-stage
+    relations are per-user aggregates (bounded by |users|), joined back
+    to raw events on the same key — no window over the full event log, no
+    event-time sort. Timestamps compare as exact microsecond integers —
+    bit-identical cross-engine."""
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    win = F.expr("INTERVAL 48 HOURS")
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# e2 — weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+_E2_ORACLE = """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d')                          AS cohort_week,
+       CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT)   AS week_offset,
+       count(*)                                                AS n_active
+FROM f JOIN act a ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("e2_retention_cohorts", _E2_ORACLE)
+def e2_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohort matrix: users are cohorted by the ISO week
+    of their first event; n_active counts distinct cohort members active
+    k weeks later — the triangle every growth dashboard draws.
+
+    Scale shape: first-seen is a map-side-combinable min per user; the
+    activity set is the DISTINCT (user, week) projection (weeks-per-user
+    bounded, so this is the small multiple of |users|); the join keys on
+    user_id like e1 and the final aggregate's key space is
+    |cohorts| × |offsets| — tiny. Week arithmetic is integer throughout:
+    both engines truncate to Monday-start ISO weeks and the offset is an
+    exact day-difference floor-divided by 7 (differences are multiples of
+    7 by construction)."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        f.join(act, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -379,6 +379,8 @@ _BNLJ_WHITELIST = {
     "g4_hits": 2,              # 1-row normalization total per half-step
     "j2_cross_modes": 1,       # constant mode enumeration
     "j5_tile_placement": 3,    # 1-row global min-corner aggregate
+    "q11_important_parts": 1,  # 1-row global-total aggregate
+    "q12_dormant_customers": 1,  # 1-row avg-balance threshold
     "s6_tile_grid": 2,         # constant grid range enumeration
     "t11_tfidf_topk": 1,       # 1-row corpus-size aggregate
     "t16_token_familiarity": 1,  # 1-row corpus-size aggregate
