@@ -66,6 +66,7 @@ def _register_all():
         coords,
         dedup,
         graph,
+        lm,
         multimodal,
         rangejoin,
         relational,

@@ -382,6 +382,7 @@ _BNLJ_WHITELIST = {
     "q11_important_parts": 1,  # 1-row global-total aggregate
     "q12_dormant_customers": 1,  # 1-row avg-balance threshold
     "s6_tile_grid": 2,         # constant grid range enumeration
+    "t22_mix_rebalance": 1,    # 1-row min-source target aggregate
     "t11_tfidf_topk": 1,       # 1-row corpus-size aggregate
     "t16_token_familiarity": 1,  # 1-row corpus-size aggregate
     "t20_bm25_rank": 1,        # 1-row corpus stats (N, total dl) broadcast
