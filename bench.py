@@ -209,7 +209,33 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps(out))
+    # stdout gets a COMPACT line (the per-round timings / raw samples /
+    # ceiling probes live in BENCH/last_run.json): the caller captures a
+    # bounded tail of stdout, and a multi-KB line gets truncated mid-JSON
+    # and becomes unparseable
+    compact_crawl = {
+        k: crawl[k]
+        for k in (
+            "scaling_efficiency_2_to_8",
+            "efficiency_over_machine_ceiling",
+            "efficiency_over_machine_ceiling_raw",
+            "ceiling_probe_throttled_relative_to_run",
+        )
+        if k in crawl
+    }
+    for lvl, d in crawl.items():
+        if isinstance(d, dict) and "pages_per_sec" in d:
+            compact_crawl[lvl] = {
+                "cores": d["cores"],
+                "elapsed_sec": d["elapsed_sec"],
+                "pages_per_sec": d["pages_per_sec"],
+                "pages_fetched": d["pages_fetched"],
+            }
+    print(
+        json.dumps(
+            {**out, "crawl": compact_crawl, "detail": "BENCH/last_run.json"}
+        )
+    )
 
 
 if __name__ == "__main__":
