@@ -436,13 +436,19 @@ class CrawlEngine:
         t = _mark("fetch_extract_write", t)
 
         # --- discovered links → min(parent prio)+1, dedup vs seen
-        links = (
-            ok.select(
-                F.explode("links").alias("url"),
-                (F.col("priority") + 1).alias("p"),
-            )
-            .groupBy("url")
-            .agg(F.min("p").cast("int").alias("priority"))
+        exploded = ok.select(
+            F.explode("links").alias("url"),
+            (F.col("priority") + 1).alias("p"),
+        )
+        if self.policy.trap_filter:
+            # trap-shaped links die BEFORE the seen set (urlfilter.py):
+            # pure column math fused into this projection, mirrored
+            # exactly by the oracle's is_trap_url
+            from spider_spark.engine.urlfilter import drop_traps
+
+            exploded = drop_traps(exploded)
+        links = exploded.groupBy("url").agg(
+            F.min("p").cast("int").alias("priority")
         )
         seen_all = self._read_delta_table("seen_delta", r - 1).select("url")
         blobs_df = (

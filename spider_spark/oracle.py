@@ -46,6 +46,14 @@ from spider_spark.extract import extract_links
 from spider_spark.urlnorm import canonicalize_url, host_of
 
 
+def _is_trap(url: str) -> bool:
+    # lazy: engine.urlfilter sits under spider_spark.engine, whose
+    # __init__ imports the crawler, which imports THIS module
+    from spider_spark.engine.urlfilter import is_trap_url
+
+    return is_trap_url(url)
+
+
 @dataclass(frozen=True)
 class CrawlPolicy:
     """Politeness budget — identical object drives oracle and engine."""
@@ -54,6 +62,9 @@ class CrawlPolicy:
     round_ms: int = 60_000
     max_retries: int = 2
     max_rounds: int = 50
+    # drop trap-shaped discovered links (engine/urlfilter.py) before the
+    # seen set; off by default — the closed fixture worlds have no traps
+    trap_filter: bool = False
 
 
 @dataclass
@@ -165,6 +176,8 @@ def crawl(
         new_urls = 0
         blocked = 0
         for link in sorted(new_prio):
+            if policy.trap_filter and _is_trap(link):
+                continue  # dropped BEFORE seen — mirrors the engine
             if link in res.seen:
                 continue
             res.seen.add(link)
