@@ -115,3 +115,51 @@ def with_robots(
         .withColumn("budget", budget_col(F.col("_r_delay"), policy))
         .drop("_r_host", "_r_delay", "_r_prefixes")
     )
+
+
+def adaptive_delays(
+    robots: DataFrame,
+    observations: DataFrame,
+    delay_factor: int = 2,
+    min_delay_ms: int = 0,
+    max_delay_ms: int = 30_000,
+) -> DataFrame:
+    """Latency-adaptive crawl delays (Heritrix's public ``delayFactor``
+    politeness rule: wait ≈ delayFactor × observed fetch duration), as a
+    politeness-table transform the next round's ``with_robots`` consumes.
+
+    ``observations`` is per-fetch (host, latency_ms) — in production the
+    fetch stage's per-row timing, in tests a synthetic table. Per host:
+
+        adaptive = clamp(delay_factor * mean_latency, min..max)
+        crawl_delay_ms' = max(robots crawl_delay_ms, adaptive)
+
+    robots.txt remains a FLOOR — adaptivity may only slow a crawl down,
+    never override a host's declared delay. Integer math throughout
+    (mean = sum // count), so the updated table is bit-deterministic
+    however the observation rows are partitioned.
+
+    Scale shape: one map-side-combinable aggregate over the |hosts|-sized
+    key space, then a broadcast-sized join back onto the robots dimension
+    — hosts with no observations keep their robots delay (left join +
+    coalesce). The output keeps the robots schema, so it drops into
+    ``robots_asof``/``with_robots`` unchanged."""
+    per_host = observations.groupBy("host").agg(
+        F.expr("sum(latency_ms) div count(1)").cast("long").alias("_mean_ms")
+    )
+    adaptive = F.greatest(
+        F.lit(min_delay_ms),
+        F.least(F.lit(max_delay_ms), F.col("_mean_ms") * delay_factor),
+    )
+    base = robots_asof(robots)
+    out_cols = [c for c in base.columns]
+    return (
+        base.join(per_host, "host", "left")
+        .withColumn(
+            "crawl_delay_ms",
+            F.when(
+                F.col("_mean_ms").isNull(), F.col("crawl_delay_ms")
+            ).otherwise(F.greatest(F.col("crawl_delay_ms"), adaptive)),
+        )
+        .select(*out_cols)
+    )

@@ -101,3 +101,77 @@ def test_dequeue_salting_bounds_bucket_size(spark, world_dir):
             8, per_host[r["host"]] // N_SALTS
         )
         assert r["n"] <= cap, (r["host"], r["n"], cap)
+
+
+def test_adaptive_delays_floor_clamp_and_budget(spark):
+    """Heritrix-rule properties: robots delay is a floor, the adaptive term
+    is delay_factor x integer mean latency clamped at max, unobserved
+    hosts are untouched, and the output feeds budget_col unchanged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spider_spark.engine.politeness import adaptive_delays, budget_col
+    from spider_spark.oracle import CrawlPolicy
+
+    ts = dt.datetime(2024, 1, 1)
+    robots = spark.createDataFrame(
+        [
+            ("slowhost", 5000, [], ts),   # robots slower than observed
+            ("fasthost", 100, [], ts),    # observed slower than robots
+            ("quiet", 250, [], ts),       # no observations
+            ("storm", 0, [], ts),         # latency blowup hits the clamp
+        ],
+        "host string, crawl_delay_ms long, "
+        "disallow_prefixes array<string>, fetched_ts timestamp",
+    )
+    obs = spark.createDataFrame(
+        [
+            ("slowhost", 300),
+            ("slowhost", 500),   # mean 400 -> adaptive 800 < robots 5000
+            ("fasthost", 900),
+            ("fasthost", 1000),  # mean 950 -> adaptive 1900 > robots 100
+            ("storm", 60000),    # adaptive 120000 -> clamped to 30000
+        ],
+        "host string, latency_ms long",
+    )
+    out = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in adaptive_delays(robots, obs).collect()
+    }
+    assert out == {
+        "slowhost": 5000,
+        "fasthost": 1900,
+        "quiet": 250,
+        "storm": 30000,
+    }
+    # schema unchanged -> budget math consumes it directly
+    pol = CrawlPolicy(max_per_host=8, round_ms=2_000)
+    budgets = {
+        r["host"]: r["b"]
+        for r in adaptive_delays(robots, obs)
+        .withColumn("b", budget_col(F.col("crawl_delay_ms"), pol))
+        .collect()
+    }
+    assert budgets == {"slowhost": 1, "fasthost": 1, "quiet": 8, "storm": 1}
+
+
+def test_adaptive_delays_partition_invariant(spark):
+    """Integer mean => identical table under different partitionings."""
+    import datetime as dt
+
+    from spider_spark.engine.politeness import adaptive_delays
+
+    ts = dt.datetime(2024, 1, 1)
+    robots = spark.createDataFrame(
+        [("h", 10, [], ts)],
+        "host string, crawl_delay_ms long, "
+        "disallow_prefixes array<string>, fetched_ts timestamp",
+    )
+    obs = spark.createDataFrame(
+        [("h", v) for v in (7, 11, 13, 17, 19, 23, 101)],
+        "host string, latency_ms long",
+    )
+    a = adaptive_delays(robots, obs.repartition(1)).collect()
+    b = adaptive_delays(robots, obs.repartition(7)).collect()
+    assert a == b and a[0]["crawl_delay_ms"] == 2 * (191 // 7)
