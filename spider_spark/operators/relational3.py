@@ -15,6 +15,7 @@ accounting) re-expressed as declarative plans.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spider_spark.operators import load, query
@@ -340,4 +341,125 @@ def e2_retention_cohorts(spark, sf_dir):
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# e3 — RFM customer segmentation over the purchase stream
+# ---------------------------------------------------------------------------
+
+_E3_ORACLE = """
+WITH anchor AS (SELECT max(ts) AS mx FROM events),
+rfm AS (
+  SELECT e.user_id,
+         CAST(date_diff('day', max(e.ts), a.mx) AS BIGINT) AS recency_days,
+         count(*)                                          AS frequency,
+         round(sum(e.value), 2)                            AS monetary
+  FROM events e, anchor a
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id, a.mx)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score
+FROM rfm
+"""
+
+
+@query("e3_rfm_segments", _E3_ORACLE)
+def e3_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation: per-user
+    purchase stats against a global as-of anchor, quartile-scored — the
+    classic CRM cut. Scores order by (metric, user_id) so the ntile is a
+    total order and engine-independent; monetary is the only float and is
+    2dp-rounded per the house discipline.
+
+    Scale shape: the purchase filter reaches the scan; per-user stats are
+    one map-side-combinable aggregate; the anchor is a broadcast 1-row
+    max; the ntile windows run over the |users|-sized AGGREGATE, never the
+    raw event log (same post-aggregate-window discipline as t13). At
+    unbounded |users| the w6 sketch path (approx_percentile boundaries)
+    replaces the exact quartile, exactly as documented there."""
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    rfm = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("mx"), F.max("ts"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.desc("frequency"), "user_id")
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_score"),
+        F.ntile(4).over(wf).cast("long").alias("f_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e4 — anomaly days per event type: z-score test in exact integers
+# ---------------------------------------------------------------------------
+
+_E4_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type,
+         count(*)                            AS n_days,
+         CAST(sum(n_events) AS BIGINT)       AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS q
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+       (d.n_events * t.n_days - t.s) * (d.n_events * t.n_days - t.s)
+         > 4 * (t.n_days * t.q - t.s * t.s)              AS is_anomaly
+FROM daily d JOIN stats t USING (event_type)
+"""
+
+
+@query("e4_anomaly_days", _E4_ORACLE)
+def e4_anomaly_days(spark, sf_dir):
+    """Daily-volume anomaly detection per event type: flag days more than
+    two standard deviations from that type's mean — with the z-test
+    cross-multiplied into pure integers, (n·x − S)² > 4·(n·Q − S²), so no
+    float mean/variance ever exists and both engines agree bit for bit
+    (the same exactness trick as q11's share threshold).
+
+    Scale shape: daily counts are one map-side-combinable aggregate
+    (|types|·|days| keys); per-type moment stats aggregate THAT relation
+    and broadcast back — the event log is scanned once and never joined
+    or windowed."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    dev = F.col("n_events") * F.col("n_days") - F.col("s")
+    var_n2 = F.col("n_days") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            (dev * dev > 4 * var_n2).alias("is_anomaly"),
+        )
     )

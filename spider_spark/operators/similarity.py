@@ -511,3 +511,73 @@ def ann_rrf_fusion(spark, sf_dir):
     return u.withColumn(
         "fused_rank", F.row_number().over(fused_w).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label voting: classification by nearest-neighbor majority
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH nn AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, v.label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             v.embedding::DOUBLE[]) DESC,
+                      v.vec_id
+           ) AS rn
+    FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {TOP_K}),
+votes AS (SELECT query_id, label, count(*) AS n_votes
+          FROM nn GROUP BY query_id, label)
+SELECT query_id, label AS predicted, n_votes FROM (
+  SELECT query_id, label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS rk
+  FROM votes) WHERE rk = 1
+"""
+
+
+@query("emb_knn_label", _KNN_ORACLE)
+def emb_knn_label(spark, sf_dir):
+    """kNN classification by label majority: each query embedding takes
+    the modal label of its 5 nearest corpus neighbors (cosine), ties
+    broken by the smaller label id — a total order, so the prediction is
+    engine-independent. The labeled-corpus lookup every retrieval-
+    augmented tagging / weak-supervision pipeline runs.
+
+    Scale shape: identical to ann_bruteforce_topk (tiny query set
+    broadcast, one corpus scan, per-query window over TOP_K rows), plus a
+    vote aggregate and argmax over the (|queries|·TOP_K)-sized neighbor
+    relation only. The IVF/LSH variants drop in as the candidate
+    generator at real scale — the vote stage is unchanged."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    v = e.select("vec_id", F.col("emb").alias("ve"), "label")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
+    nn = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cos(F.col("qe"), F.col("ve")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "label")
+    )
+    votes = nn.groupBy("query_id", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), "label"
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("predicted"), "n_votes")
+    )

@@ -114,3 +114,70 @@ def test_important_parts_threshold_is_exact(spark, sf_dir):
         for r in QUERIES["q11_important_parts"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rfm_scores_partition_purchasers(spark, sf_dir):
+    """Every purchasing user appears once with quartile scores in 1..4 and
+    a non-negative recency."""
+    rows = QUERIES["e3_rfm_segments"](spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_buyers = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_buyers
+    assert len({r["user_id"] for r in rows}) == n_buyers
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4 and 1 <= r["f_score"] <= 4
+        assert r["recency_days"] >= 0 and r["frequency"] >= 1
+
+
+def test_anomaly_flag_matches_float_zscore(spark, sf_dir):
+    """The integer cross-multiplied test is exactly |z| > 2 computed the
+    float way (up to the boundary, which integers decide exactly)."""
+    import statistics
+
+    rows = QUERIES["e4_anomaly_days"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for _t, days in by_type.items():
+        xs = [r["n_events"] for r in days]
+        n = len(xs)
+        mu = statistics.mean(xs)
+        var = statistics.pvariance(xs)
+        for r in days:
+            want = (r["n_events"] - mu) ** 2 > 4 * var + 1e-9
+            exact_eq = abs((r["n_events"] - mu) ** 2 - 4 * var) < 1e-9
+            if not exact_eq:  # off-boundary: float and integer agree
+                assert r["is_anomaly"] == want, (r, mu, var)
+
+
+def test_knn_prediction_is_modal_neighbor_label(spark, sf_dir):
+    """Recompute the 5-NN vote from ann_bruteforce_topk's own output —
+    the classifier must agree with its candidate generator."""
+    from collections import Counter
+
+    nn = QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    votes: dict[int, Counter] = {}
+    for r in nn:
+        votes.setdefault(r["query_id"], Counter())[
+            labels[r["neighbor"]]
+        ] += 1
+    want = {
+        q: min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        for q, c in votes.items()
+    }
+    got = {
+        r["query_id"]: (r["predicted"], r["n_votes"])
+        for r in QUERIES["emb_knn_label"](spark, sf_dir).collect()
+    }
+    assert got == {q: (lbl, n) for q, (lbl, n) in want.items()}
