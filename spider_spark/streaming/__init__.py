@@ -7,6 +7,9 @@ The reference's streaming concerns — hourly tumbling fetch loops
 readStream → window agg → writeStream with watermarks.
 """
 
+from spider_spark.streaming.joins import (  # noqa: F401
+    attributed_conversions,
+)
 from spider_spark.streaming.windows import (  # noqa: F401
     sliding_avg_stream,
     tumbling_counts_stream,
