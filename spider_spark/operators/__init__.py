@@ -72,6 +72,7 @@ def _register_all():
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         textstats,
     )

@@ -284,3 +284,114 @@ def mm_frame_sample(spark, sf_dir):
     return frame_sample(d).select(
         "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-column plumbing: PCM-style feature extraction over a binary column.
+# Real audio decode (wav/mp3) would slot into the per-row decode call; this
+# container has no audio lib, so the deterministic fake "decode" treats the
+# first 256 payload bytes as 8-bit PCM centered at 96 (printable ASCII
+# straddles 96, so real sign changes occur). Everything Spark-side — the
+# mapInPandas batching, schema, numpy feature kernels — is the real
+# pipeline shape, and the byte math is SQL-expressible for a full
+# value-hash oracle (same discipline as the image path above).
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_fake(payload: bytes, max_samples: int = 256) -> np.ndarray:
+    """Deterministic stand-in decoder: first ``max_samples`` bytes as
+    signed samples centered at 96. Same bytes → same waveform."""
+    return (
+        np.frombuffer(payload[:max_samples], dtype=np.uint8).astype(np.int64)
+        - 96
+    )
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas audio feature extraction: per batch, decode each payload
+    (the per-row decode slot — variable-length waveforms, same pattern as
+    ``image_features``) and compute energy (mean sample², exact integer
+    sum then one division), zero-crossing count (strict sign flips), and
+    peak |amplitude| with numpy kernels."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            n_s = np.zeros(n, dtype=np.int32)
+            energy = np.zeros(n, dtype=np.float64)
+            zc = np.zeros(n, dtype=np.int32)
+            peak = np.zeros(n, dtype=np.int32)
+            for i, p in enumerate(pdf[bin_col]):
+                s = decode_audio_fake(bytes(p))
+                if len(s) == 0:
+                    continue
+                n_s[i] = len(s)
+                # explicit half-up at 4 dp: /256 makes exact .5-ulp halves
+                # common, and Python round() (half-even) would disagree
+                # with the SQL side there — both engines use floor(+0.5).
+                energy[i] = (
+                    np.floor(
+                        float((s * s).sum()) * 10000.0 / len(s) + 0.5
+                    )
+                    / 10000.0
+                )
+                if len(s) > 1:
+                    zc[i] = int(np.count_nonzero(s[:-1] * s[1:] < 0))
+                peak[i] = int(np.abs(s).max())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "n_samples": n_s,
+                    "energy": energy,
+                    "zero_crossings": zc,
+                    "peak": peak,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        _extract, schema=AUDIO_META_SCHEMA
+    )
+
+
+# documents.text is ASCII at every SF (asserted for the image oracle
+# above), so ascii(substr(...)) - 96 reproduces the fake PCM decode and
+# the whole feature kernel is SQL-expressible: exact integer sums, one
+# rounded division.
+_MM_AUDIO_ORACLE = """
+WITH s AS (
+  SELECT doc_id, least(length(text), 256)::INT AS n,
+         list_transform(range(0, least(length(text), 256)::BIGINT),
+                        i -> ascii(substr(text, (i + 1)::INT, 1)) - 96) AS smp
+  FROM documents)
+SELECT doc_id, n AS n_samples,
+       floor(list_sum(list_transform(smp, x -> x * x)) * 10000.0 / n + 0.5)
+         / 10000.0 AS energy,
+       CAST(coalesce(list_sum(list_transform(range(0, (n - 1)::BIGINT),
+              i -> CASE WHEN smp[(i + 1)::INT] * smp[(i + 2)::INT] < 0
+                        THEN 1 ELSE 0 END)), 0) AS INT) AS zero_crossings,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+FROM s
+"""
+
+
+@query("mm_audio_features", _MM_AUDIO_ORACLE)
+def mm_audio_features(spark, sf_dir):
+    """Audio-as-binary pipeline demo: documents.text encoded to bytes
+    stands in for a PCM payload; extract (n_samples, energy,
+    zero_crossings, peak) via the Arrow-batched kernel."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return audio_features(d)
