@@ -611,3 +611,60 @@ def w8_scd2_intervals(spark, sf_dir):
         F.col("ts_ms").alias("valid_from"),
         F.coalesce(F.lead("ts_ms").over(w), F.lit(-1)).alias("valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u7 — CDC changelog apply (MERGE INTO snapshot semantics)
+# ---------------------------------------------------------------------------
+
+_U7_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+           AS op,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events),
+latest AS (
+  SELECT user_id, op, value_cents, ts_ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM log)
+SELECT user_id, value_cents AS last_value_cents, ts_ms AS last_ts_ms
+FROM latest WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@query("u7_apply_changelog", _U7_ORACLE)
+def u7_apply_changelog(spark, sf_dir):
+    """CDC changelog application — MERGE INTO snapshot semantics: the
+    event stream read as a keyed changelog (every event upserts the key's
+    (value, ts); 'error' events are delete markers), collapsed to the
+    current snapshot: latest operation per key wins, and a key whose
+    latest operation is a delete is ABSENT from the snapshot (not a null
+    row) — the upsert/delete compaction an Iceberg/Hudi-style merge
+    performs on write.
+
+    Scale shape: last-writer-wins is ONE map-side-combinable
+    max(struct(ts, event_id, …)) aggregate — the changelog never feeds a
+    row_number window (which would sort every key group), and the delete
+    filter runs on the |keys|-sized aggregate, not the log. Ordering ties
+    broken by event_id; money as exact integer cents."""
+    log = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            ntz_epoch_ms("ts").alias("ts_ms"),
+            F.col("event_id").alias("event_id"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("long")
+            .alias("value_cents"),
+        ).alias("rec"),
+    )
+    latest = log.groupBy("user_id").agg(F.max("rec").alias("rec"))
+    return latest.filter(F.col("rec.op") != "delete").select(
+        "user_id",
+        F.col("rec.value_cents").alias("last_value_cents"),
+        F.col("rec.ts_ms").alias("last_ts_ms"),
+    )

@@ -181,3 +181,28 @@ def test_audio_features_known_waveform(spark, tmp_path):
     assert got[2] == (4, 18.5, 3, 6)  # (1+36+1+36)/4
     # the pure decoder agrees
     assert list(decode_audio_fake(b"aZaZ")) == [1, -6, 1, -6]
+
+
+def test_changelog_apply_delete_and_ordering(spark, tmp_path):
+    """A key whose LATEST op is a delete is absent from the snapshot; a
+    late-arriving older upsert never overwrites a newer one."""
+    rows = [
+        # user 1: upsert then delete → absent
+        (1, dt.datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 1, "error", 0.0, "{}"),
+        # user 2: delete then upsert → present with the newer value
+        (3, dt.datetime(2024, 1, 1), 2, "error", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 2), 2, "view", 7.25, "{}"),
+        # user 3: the older event appears later in the log — ts wins
+        (5, dt.datetime(2024, 1, 5), 3, "click", 9.0, "{}"),
+        (6, dt.datetime(2024, 1, 4), 3, "click", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["user_id"]: r["last_value_cents"]
+        for r in QUERIES["u7_apply_changelog"](spark, str(tmp_path)).collect()
+    }
+    assert got == {2: 725, 3: 900}
