@@ -11,6 +11,8 @@ from spider_spark.streaming.joins import (  # noqa: F401
     attributed_conversions,
 )
 from spider_spark.streaming.windows import (  # noqa: F401
+    dedup_events_stream,
+    session_counts_stream,
     sliding_avg_stream,
     tumbling_counts_stream,
 )

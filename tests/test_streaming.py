@@ -226,3 +226,122 @@ def test_stream_stream_join_parity_and_state_bound(spark, sf_dir, tmp_path):
     assert any(
         o["operatorName"] == "symmetricHashJoin" for o in ops
     ), ops
+
+
+def test_session_window_matches_gaps_and_islands(spark, sf_dir):
+    """Batch-mode session_window must equal an independent lag/cumsum
+    gaps-and-islands sessionization (gap 30 min; window end = last event
+    + gap)."""
+    from pyspark.sql import Window
+
+    from spider_spark.streaming.windows import session_counts_stream
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_counts_stream(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.expr("INTERVAL 30 MINUTES")
+    islands = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull() | (F.col("ts") > F.col("prev") + gap)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + gap).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in islands.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_stream_emits_only_closed_sessions(spark, sf_dir, tmp_path):
+    """Streaming append-mode sessions: every emitted row is a true session
+    from the batch computation, and sessions ending before the final
+    watermark did emit."""
+    import time
+
+    from spider_spark.streaming.windows import (
+        run_session_stream_from_parquet,
+        session_counts_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts")
+    n = events.count()
+    events_dir = tmp_path / "ev_sess"
+    events_dir.mkdir()
+    first = events.limit(n // 2)
+    second = events.subtract(first)
+    first.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    time.sleep(1.1)  # FileStreamSource orders micro-batches by mtime
+    second.coalesce(1).write.parquet(str(tmp_path / "s2"))
+    import glob
+    import shutil
+
+    for tag in ("s1", "s2"):
+        (f,) = glob.glob(str(tmp_path / tag / "*.parquet"))
+        shutil.move(f, str(events_dir / f"{tag}.parquet"))
+
+    streamed = {
+        tuple(r)
+        for r in run_session_stream_from_parquet(
+            spark, str(events_dir), out_table="t_sessions"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in session_counts_stream(
+            spark.read.parquet(str(events_dir))
+        ).collect()
+    }
+    assert streamed <= batch
+    assert len(streamed) > 0
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a micro-batch re-delivering events
+    already seen within the watermark horizon emits nothing new."""
+    import datetime as dt
+
+    from spider_spark.streaming.windows import run_dedup_stream_from_parquet
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 12, 0, i), i % 3, "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    events_dir = tmp_path / "ev_dup"
+    events_dir.mkdir()
+    import glob
+    import shutil
+    import time
+
+    df.coalesce(1).write.parquet(str(tmp_path / "d1"))
+    time.sleep(1.1)
+    df.coalesce(1).write.parquet(str(tmp_path / "d2"))  # exact re-delivery
+    for tag in ("d1", "d2"):
+        (f,) = glob.glob(str(tmp_path / tag / "*.parquet"))
+        shutil.move(f, str(events_dir / f"{tag}.parquet"))
+
+    out = run_dedup_stream_from_parquet(spark, str(events_dir), "t_dedup")
+    ids = [r["event_id"] for r in out.collect()]
+    assert sorted(ids) == list(range(10))  # each id exactly once
