@@ -73,6 +73,7 @@ def _register_all():
         relational2,
         relational3,
         relational4,
+        selection,
         similarity,
         textstats,
     )
