@@ -581,3 +581,184 @@ def emb_knn_label(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("query_id", F.col("label").alias("predicted"), "n_votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq — product quantization with ADC (asymmetric distance computation)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = 16  # 64-dim embeddings / 4
+_PQ_K = 16  # codes per subspace → 4 bits/code, 2 bytes per vector
+
+
+def _pq_oracle_sql() -> str:
+    """ann_pq replicated in SQL. The codebook is the k-means-free "sample
+    codebook": subvectors of the first _PQ_K corpus rows in deterministic
+    (murmur3(vec_id), vec_id) order — the same hash-sample convention as
+    the IVF quantizer, recomputed here via sqlmurmur so the oracle needs no
+    data-dependent literals. Every distance is the identical sequential
+    fold the Spark side uses (list_reduce left fold == F.aggregate with 0.0
+    init, since 0.0 + x == x), so d2 / ADC values are bit-identical across
+    engines and the argmin/rank tie-breaks never diverge."""
+    from spider_spark.operators.sqlmurmur import hashlong_aliases
+
+    d2 = """list_reduce(
+        list_transform(range(1, {n}), i ->
+          (sub[i] - c.cent[i]) * (sub[i] - c.cent[i])),
+        (a, b) -> a + b)""".format(n=_PQ_SUBDIM + 1)
+    m_vals = ", ".join(f"({m})" for m in range(_PQ_M))
+    code_cols = ", ".join(
+        f"max(CASE WHEN m = {m} THEN k END) AS c{m}" for m in range(_PQ_M)
+    )
+    lut_joins = "\n      ".join(
+        f"JOIN lut l{m} ON l{m}.query_id = l0.query_id AND l{m}.m = {m} "
+        f"AND l{m}.k = c.c{m}"
+        for m in range(1, _PQ_M)
+    )
+    adc = "l0.d2"
+    for m in range(1, _PQ_M):
+        adc = f"({adc} + l{m}.d2)"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), hashed AS (
+      SELECT vec_id, emb, {hashlong_aliases("vec_id", "42", "mmh", "pq")}
+      FROM emb
+    ), sample AS (
+      SELECT emb, row_number() OVER (ORDER BY mmh, vec_id) - 1 AS sid
+      FROM hashed ORDER BY mmh, vec_id LIMIT {_PQ_K}
+    ), cb AS (
+      SELECT s.sid AS k, mm.m,
+             list_slice(s.emb, mm.m * {_PQ_SUBDIM} + 1,
+                        mm.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS cent
+      FROM sample s CROSS JOIN (VALUES {m_vals}) mm(m)
+    ), dists AS (
+      SELECT e.vec_id, c.m, c.k, {d2} AS d2
+      FROM (SELECT vec_id,
+                   list_slice(emb, mm.m * {_PQ_SUBDIM} + 1,
+                              mm.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub,
+                   mm.m
+            FROM emb CROSS JOIN (VALUES {m_vals}) mm(m)) e
+      JOIN cb c ON c.m = e.m
+    ), codes AS (
+      SELECT vec_id, {code_cols}
+      FROM (SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, k) AS rn
+            FROM dists)
+      WHERE rn = 1 GROUP BY vec_id
+    ), lut AS (
+      SELECT vec_id AS query_id, m, k, d2 FROM dists
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT l0.query_id, c.vec_id, {adc} AS adc,
+             row_number() OVER (PARTITION BY l0.query_id
+                 ORDER BY {adc}, c.vec_id) AS rn
+      FROM codes c
+      JOIN lut l0 ON l0.m = 0 AND l0.k = c.c0
+      {lut_joins}
+      WHERE c.vec_id <> l0.query_id
+    )
+    SELECT query_id, vec_id AS neighbor, round(adc, 4) AS adc_dist
+    FROM scored WHERE rn <= {TOP_K}
+    """
+
+
+@query("ann_pq", _pq_oracle_sql())
+def ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): the 64-dim embedding is
+    split into 4×16-dim subvectors, each quantized to one of 16 sample
+    codes (4 codes ≈ 4 small ints per vector — a 32× compression of
+    the candidate set), and queries rank the corpus by ADC: the sum of
+    per-subspace query→code distances looked up from a tiny per-query
+    table. The codebook is the k-means-free sample codebook (subvectors of
+    the first 16 rows in murmur3-hash order, the IVF quantizer's sampling
+    convention); ann_ivf shows the trained-quantizer variant of the same
+    machinery.
+
+    Scale shape: encoding is pure column math over one corpus scan
+    (whole-stage codegen, no Python); the corpus thereafter exists only as
+    (vec_id, 4 codes) — the PQ memory story; the 8-query LUT is
+    broadcast, so the ADC pass is a broadcast join + explicit ordered sum
+    with no corpus shuffle; top-k is the same per-query window the exact
+    baseline uses. Every distance is a sequential left fold (F.aggregate
+    with 0.0 init == DuckDB list_reduce), so ADC values — and therefore
+    ranks and ties — are bit-identical to the oracle by construction, not
+    by rounding margin."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cb_rows = (
+        e.select("vec_id", "emb")
+        .orderBy(F.hash("vec_id"), "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    # cb[m][k] = the m-th subvector of sample row k, as a literal column
+    cb = [
+        [
+            F.array(
+                *[
+                    F.lit(float(v))
+                    for v in r["emb"][m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+                ]
+            )
+            for r in cb_rows
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def d2(sub, cent):
+        return F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def sub(m):
+        return F.slice("emb", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+    # encode: per subspace, argmin over the 16 codes (first-min tie-break
+    # == the oracle's ORDER BY d2, k)
+    codes = e.select(
+        "vec_id",
+        *[
+            (
+                F.array_position(
+                    F.array(*[d2(sub(m), cb[m][k]) for k in range(_PQ_K)]),
+                    F.array_min(
+                        F.array(*[d2(sub(m), cb[m][k]) for k in range(_PQ_K)])
+                    ),
+                ).cast("int")
+                - 1
+            ).alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    # per-query LUT: distances from each query subvector to all 16 codes
+    lut = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            F.array(*[d2(sub(m), cb[m][k]) for k in range(_PQ_K)]).alias(
+                f"lut{m}"
+            )
+            for m in range(_PQ_M)
+        ],
+    )
+    adc = F.element_at("lut0", F.col("c0") + 1)
+    for m in range(1, _PQ_M):
+        adc = adc + F.element_at(f"lut{m}", F.col(f"c{m}") + 1)
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        codes.join(F.broadcast(lut), F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor"),
+            F.round("adc", 4).alias("adc_dist"),
+        )
+    )

@@ -376,6 +376,7 @@ def test_host_degrees_conservation(spark, sf_dir):
 # a new unbroadcast join or a plan regression shows up as a diff here.
 _BNLJ_WHITELIST = {
     "ann_bruteforce_topk": 1,  # fixed query set broadcast, non-equi (<>)
+    "ann_pq": 1,               # fixed 8-query ADC LUT broadcast, non-equi (<>)
     "e3_rfm_segments": 1,      # 1-row global as-of anchor
     "emb_knn_label": 1,        # fixed query set broadcast, non-equi (<>)
     "g4_hits": 2,              # 1-row normalization total per half-step

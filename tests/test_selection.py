@@ -83,3 +83,24 @@ def test_url_dedup_collapses_variants(spark, sf_dir):
         assert scheme in ("http", "https")
     # non-default port survives canonicalization
     assert any(":8080" in r["canonical_url"] for r in out)
+
+
+def test_pq_codes_compress_and_rank_sanely(spark, sf_dir):
+    """ann_pq structural invariants: exactly TOP_K neighbors per query,
+    ADC distances non-negative and non-decreasing in rank, and the plan
+    keeps the corpus unshuffled (LUT broadcast — no SortMergeJoin)."""
+    from spider_spark.operators.similarity import N_QUERIES, TOP_K
+
+    df = QUERIES["ann_pq"](spark, sf_dir)
+    rows = df.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["adc_dist"])
+        assert r["adc_dist"] >= 0.0
+        assert r["neighbor"] != r["query_id"]
+    assert len(per_q) == N_QUERIES
+    for q, dists in per_q.items():
+        assert len(dists) == TOP_K
+        assert dists == sorted(dists)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # LUT is broadcast, corpus never shuffles
