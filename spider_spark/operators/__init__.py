@@ -64,6 +64,7 @@ def _register_all():
     from spider_spark.operators import (  # noqa: F401
         asof,
         coords,
+        crawlops,
         dedup,
         graph,
         lm,

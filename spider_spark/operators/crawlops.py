@@ -1,0 +1,411 @@
+"""Crawl-scheduling operators: the web-scale control loop the reference's
+sequential fetch scripts imply but never need — freshness-aware recrawl
+scheduling, registrable-domain (eTLD+1) rollups for per-site politeness
+budgets, PageRank-driven frontier re-prioritization, and a quality-filter
+cascade with reason attribution for the corpus the crawl feeds.
+
+Provenance: the reference re-fetches a fixed ID universe every run
+(/root/reference/suplicmap_vector.py:94-110 walks all windows each time;
+/root/reference/suplicmap_tilemap.py:93-116 re-GETs every tile) — at
+10^10-URL scale a crawler must instead decide *when* each page is worth
+re-fetching (c1), budget per registered site rather than per hostname
+(c2), and order the frontier by authority rather than discovery order
+(c3). All four queries follow the repo's float discipline: every
+comparison and output is integer-exact, so JVM and DuckDB hash-agree with
+no rounding margin to defend.
+
+Fixture derivations are deterministic functions of existing columns (the
+same pattern as :mod:`spider_spark.operators.graph`): synthetic fetch
+observations from ``events`` via Spark ``hash()`` (reproduced bit-exactly
+in DuckDB by :mod:`spider_spark.operators.sqlmurmur`), synthetic hostnames
+from ``documents.source`` plus hash-chosen subdomain/public-suffix parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark.operators import load, query
+from spider_spark.operators.sqlmurmur import hashlong_aliases
+
+# ---------------------------------------------------------------------------
+# c1 — freshness-aware recrawl scheduling (Cho & Garcia-Molina, "Effective
+# Page Refresh Policies for Web Crawlers", ACM TODS 28(4), 2003)
+# ---------------------------------------------------------------------------
+
+_C1_PAGES = 500
+_C1_PPM = 1_000_000
+# (ratio_ppm floor, tier, revisit hours) — highest floor wins.
+_C1_TIERS = (
+    (400_000, "hot", 1),
+    (200_000, "warm", 6),
+    (50_000, "cool", 24),
+    (0, "cold", 168),
+)
+
+
+def _c1_tier_case(col: str) -> str:
+    """Shared CASE text (valid in both Spark SQL and DuckDB)."""
+    arms = " ".join(
+        f"WHEN {col} >= {floor} THEN '{name}'" for floor, name, _ in _C1_TIERS[:-1]
+    )
+    return f"CASE {arms} ELSE '{_C1_TIERS[-1][1]}' END"
+
+
+def _c1_hours_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{name}' THEN {hours}" for _, name, hours in _C1_TIERS[:-1]
+    )
+    return f"CASE {col} {arms} ELSE {_C1_TIERS[-1][2]} END"
+
+
+_C1_ORACLE = f"""
+WITH obs AS (
+  SELECT ((ph % {_C1_PAGES}) + {_C1_PAGES}) % {_C1_PAGES} AS page_id,
+         CASE WHEN ((ch % 5) + 5) % 5 = 0 THEN 1 ELSE 0 END AS changed,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM (SELECT ts, {hashlong_aliases("event_id", "42", "ph", "c1a")},
+               {hashlong_aliases("event_id * 31 + 7", "42", "ch", "c1b")}
+        FROM events)
+), agg AS (
+  SELECT page_id,
+         count(*) AS n_fetches,
+         sum(changed) AS n_changes,
+         max(ts_s) AS last_seen_s
+  FROM obs GROUP BY page_id
+), rated AS (
+  SELECT *, CAST(({_C1_PPM} * n_changes) // n_fetches AS BIGINT)
+              AS change_ppm FROM agg
+), tiered AS (
+  SELECT *, {_c1_tier_case("change_ppm")} AS revisit_tier FROM rated
+)
+SELECT page_id, n_fetches, CAST(n_changes AS BIGINT) AS n_changes,
+       change_ppm, revisit_tier,
+       CAST({_c1_hours_case("revisit_tier")} AS BIGINT) AS revisit_hours,
+       last_seen_s + 3600 * {_c1_hours_case("revisit_tier")} AS next_due_s
+FROM tiered
+"""
+
+
+@query("c1_recrawl_schedule", _C1_ORACLE)
+def c1_recrawl_schedule(spark, sf_dir):
+    """Freshness-aware recrawl scheduling (Cho & Garcia-Molina 2003): each
+    fetch observation of a page either saw it changed or unchanged; the
+    empirical change ratio (scaled to ppm — exact integer division, no
+    Poisson log needed for a *relative* schedule) buckets the page into a
+    revisit tier, and next-due = last observation + the tier's interval.
+    Observations are derived deterministically from ``events``: page =
+    pmod(hash(event_id), 500) and changed = pmod(hash(event_id*31+7),
+    5) = 0 — both murmur3, reproduced bit-exactly in the DuckDB oracle.
+
+    Scale shape (10^10 URLs): one map-side-combinable groupBy on page_id
+    (count/sum/max all partial-aggregate before the exchange); tiering and
+    due-time are per-row column CASEs after the agg — zero further
+    shuffles. The schedule table this emits is exactly what the engine's
+    frontier would consume as its priority column on re-enqueue.
+    """
+    e = load(spark, sf_dir, "events")
+    obs = e.select(
+        F.pmod(F.hash("event_id"), F.lit(_C1_PAGES)).alias("page_id"),
+        F.when(
+            F.pmod(F.hash(F.expr("event_id * 31 + 7")), F.lit(5)) == 0, 1
+        )
+        .otherwise(0)
+        .alias("changed"),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_s"),
+    )
+    agg = obs.groupBy("page_id").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum("changed").cast("long").alias("n_changes"),
+        F.max("ts_s").alias("last_seen_s"),
+    )
+    rated = agg.withColumn(
+        "change_ppm", F.expr(f"({_C1_PPM} * n_changes) div n_fetches")
+    )
+    tiered = rated.withColumn(
+        "revisit_tier", F.expr(_c1_tier_case("change_ppm"))
+    )
+    hours = F.expr(_c1_hours_case("revisit_tier"))
+    return tiered.select(
+        "page_id",
+        "n_fetches",
+        "n_changes",
+        "change_ppm",
+        "revisit_tier",
+        hours.cast("long").alias("revisit_hours"),
+        (F.col("last_seen_s") + F.lit(3600) * hours).alias("next_due_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c2 — registrable-domain (eTLD+1) rollup with an embedded public-suffix
+# sample: per-site page/host counts for politeness budgeting
+# ---------------------------------------------------------------------------
+
+# Embedded sample of multi-label public suffixes (the PSL shape that makes
+# naive "last two labels" wrong: co.uk is a *suffix*, not a site).
+_C2_PSL2 = ("co.uk", "com.cn", "github.io")
+_C2_SUBS = ("www", "cdn", "img", "a.b")  # a.b: multi-label subdomain
+_C2_SUFFIXES = (".co.uk", ".com.cn", ".github.io", ".org", ".com")
+
+
+def _case_from(col: str, choices: tuple[str, ...]) -> str:
+    n = len(choices)
+    arms = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(choices[:-1])
+    )
+    return f"CASE (({col} % {n}) + {n}) % {n} {arms} ELSE '{choices[-1]}' END"
+
+
+_C2_PSL_IN = ", ".join(f"'{s}'" for s in _C2_PSL2)
+
+_C2_ORACLE = f"""
+WITH hosts AS (
+  SELECT doc_id,
+         {_case_from("sh", _C2_SUBS)} || '.' || source
+           || {_case_from("xh", _C2_SUFFIXES)} AS host
+  FROM (SELECT doc_id, source,
+               {hashlong_aliases("doc_id", "42", "sh", "c2a")},
+               {hashlong_aliases("doc_id * 17 + 3", "42", "xh", "c2b")}
+        FROM documents)
+), parsed AS (
+  SELECT host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM hosts
+), reg AS (
+  SELECT host,
+         array_to_string(
+           labels[n - (CASE WHEN array_to_string(labels[n-1:n], '.')
+                                 IN ({_C2_PSL_IN})
+                            THEN 2 ELSE 1 END):n],
+           '.') AS registrable_domain
+  FROM parsed
+)
+SELECT registrable_domain,
+       count(*) AS n_pages,
+       count(DISTINCT host) AS n_hosts,
+       min(host) AS min_host
+FROM reg GROUP BY registrable_domain
+"""
+
+
+@query("c2_etld1_rollup", _C2_ORACLE)
+def c2_etld1_rollup(spark, sf_dir):
+    """Registrable-domain rollup: extract eTLD+1 from each hostname using
+    an embedded public-suffix sample (``co.uk``-style multi-label suffixes
+    make "last two labels" wrong — the exact mistake a per-host politeness
+    budget at web scale cannot afford, since one registered site can spawn
+    millions of hostnames). Hostnames are derived deterministically:
+    hash-chosen subdomain (including a multi-label one) + ``source`` +
+    hash-chosen suffix. Extraction sees only the final host string.
+
+    Scale shape: per-row split/slice column math (no UDF), then ONE
+    map-side-combinable groupBy on the registrable domain. The distinct-
+    host count is exact here; at 10^10 rows you would swap it for
+    ``approx_count_distinct`` (the a7 pattern) — the group key and shuffle
+    shape are unchanged. In the live engine this feeds the politeness
+    scheduler (engine/politeness.py) with per-*site* rather than per-host
+    budgets."""
+    d = load(spark, sf_dir, "documents")
+    n_subs, n_suf = len(_C2_SUBS), len(_C2_SUFFIXES)
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in _C2_SUBS]),
+        (F.pmod(F.hash("doc_id"), F.lit(n_subs)) + 1).cast("int"),
+    )
+    suf = F.element_at(
+        F.array(*[F.lit(s) for s in _C2_SUFFIXES]),
+        (F.pmod(F.hash(F.expr("doc_id * 17 + 3")), F.lit(n_suf)) + 1).cast(
+            "int"
+        ),
+    )
+    hosts = d.select(
+        F.concat(sub, F.lit("."), F.col("source"), suf).alias("host")
+    )
+    labels = F.split("host", "\\.")
+    psl_in = ", ".join(f"'{s}'" for s in _C2_PSL2)
+    parsed = hosts.select(
+        "host",
+        labels.alias("labels"),
+        F.expr(
+            "CASE WHEN array_join(slice(split(host, '\\\\.'), -2, 2), '.')"
+            f" IN ({psl_in}) THEN 3 ELSE 2 END"
+        ).alias("keep"),
+    )
+    reg = parsed.select(
+        "host",
+        F.array_join(
+            F.expr("slice(labels, -keep, keep)"), "."
+        ).alias("registrable_domain"),
+    )
+    return reg.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.min("host").alias("min_host"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c3 — PageRank-driven frontier re-prioritization: authority-first ordering
+# ---------------------------------------------------------------------------
+
+
+def _c3_oracle() -> str:
+    from spider_spark.operators import graph
+
+    return f"""
+WITH ranks AS (SELECT * FROM ({graph._oracle().strip()}) g1),
+tiers AS (
+  SELECT source, ntile(4) OVER (ORDER BY pr DESC, source) AS host_tier
+  FROM ranks
+),
+frontier AS (
+  SELECT doc_id, source,
+         ((dh % 6) + 6) % 6 AS depth,
+         ((th % 10000) + 10000) % 10000 AS tie
+  FROM (SELECT doc_id, source,
+               {hashlong_aliases("doc_id", "42", "dh", "c3a")},
+               {hashlong_aliases("doc_id * 13 + 5", "42", "th", "c3b")}
+        FROM documents)
+)
+SELECT f.source || '/page/' || f.doc_id AS url,
+       f.source, f.depth, CAST(t.host_tier AS BIGINT) AS host_tier,
+       CAST(t.host_tier * 1000000 + f.depth * 10000 + f.tie AS BIGINT)
+         AS priority
+FROM frontier f JOIN tiers t ON t.source = f.source
+"""
+
+
+@query("c3_frontier_reprioritize", _c3_oracle())
+def c3_frontier_reprioritize(spark, sf_dir):
+    """Authority-first frontier ordering: re-key every queued URL by
+    (host PageRank quartile, crawl depth, hash tiebreak) — the OPIC/
+    authority-ordered crawl policy (Cho, Garcia-Molina & Page 1998,
+    "Efficient Crawling Through URL Ordering") expressed as a join of the
+    g1 fixed-point PageRank onto the frontier. The reference crawls in
+    literal ID order; a 10^10-URL frontier crawls important sites first.
+
+    Scale shape: ranks/tiers live at host cardinality (the ntile window
+    runs over that small table only — domain-count rows, one task,
+    broadcastable result); the frontier-sized work is a single broadcast
+    hash join plus per-row integer column math. The composite priority is
+    exactly the engine's dequeue key shape (engine/crawler.py salted
+    top-K per host), so this plugs in as the priority recompute step
+    between crawl rounds — integer-exact, hash-stable across engines."""
+    from pyspark.sql import Window
+
+    from spider_spark.operators.graph import g1_host_pagerank
+
+    ranks = g1_host_pagerank(spark, sf_dir)
+    tiers = ranks.select(
+        "source",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("pr"), "source"))
+        .alias("host_tier"),
+    )
+    d = load(spark, sf_dir, "documents")
+    frontier = d.select(
+        "doc_id",
+        "source",
+        F.pmod(F.hash("doc_id"), F.lit(6)).alias("depth"),
+        F.pmod(F.hash(F.expr("doc_id * 13 + 5")), F.lit(10000)).alias("tie"),
+    )
+    return frontier.join(F.broadcast(tiers), "source").select(
+        F.concat_ws("/", F.col("source"), F.lit("page"), F.col("doc_id")).alias(
+            "url"
+        ),
+        "source",
+        "depth",
+        F.col("host_tier").cast("long").alias("host_tier"),
+        (
+            F.col("host_tier").cast("long") * 1_000_000
+            + F.col("depth") * 10_000
+            + F.col("tie")
+        ).alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t27 — quality-filter cascade with reason attribution (first failing rule)
+# ---------------------------------------------------------------------------
+
+_T27_STOPS = ("the", "a", "and", "of", "to")
+_T27_STOP_IN = ", ".join(f"'{s}'" for s in _T27_STOPS)
+
+_T27_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_toks,
+         len(list_distinct(toks)) AS n_distinct,
+         list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+         len(list_filter(toks, x -> x IN ({_T27_STOP_IN}))) AS stop_hits
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        FROM documents)
+), judged AS (
+  SELECT doc_id, n_toks, n_distinct, stop_hits,
+         CASE WHEN n_chars < 80 THEN 'min_length'
+              WHEN n_toks < 15 THEN 'min_words'
+              WHEN 10 * sum_len < 20 * n_toks
+                   OR 10 * sum_len > 120 * n_toks THEN 'word_length'
+              WHEN stop_hits < 2 THEN 'stopword'
+              WHEN 10 * n_distinct < 3 * n_toks THEN 'diversity'
+              ELSE 'kept' END AS reason
+  FROM feats
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(stop_hits AS BIGINT) AS stop_hits, reason,
+       reason = 'kept' AS kept
+FROM judged
+"""
+
+
+@query("t27_filter_cascade", _T27_ORACLE)
+def t27_filter_cascade(spark, sf_dir):
+    """Quality-filter cascade with reason attribution: the C4/Gopher-style
+    keep/drop decision (t3/t17 compute scores; production filters log WHY
+    each document fell) — rules fire in a fixed order and the verdict is
+    the FIRST failing rule, giving the per-reason drop histogram every
+    corpus-curation run reports (cf. RefinedWeb, arXiv:2306.01116 §3,
+    whose pipeline tables report exactly these stage-attrition counts).
+
+    Rules (all integer-exact): min length, min word count, mean word
+    length in [2, 12] (compared as 10·Σlen vs 20·n and 120·n — no
+    division), ≥2 stopword hits, distinct-token fraction ≥ 0.3 (10·d vs
+    3·n). Scale shape: per-row higher-order column math, zero exchanges —
+    the whole cascade is one scan and widens no shuffle anywhere; the
+    downstream drop histogram is a tiny groupBy(reason) count."""
+    d = load(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr("size(split(text, ' '))").alias("n_toks"),
+        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct"),
+        F.expr(
+            "aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))"
+        ).alias("sum_len"),
+        F.expr(
+            f"size(filter(split(text, ' '), x -> x IN ({_T27_STOP_IN})))"
+        ).alias("stop_hits"),
+    )
+    judged = feats.withColumn(
+        "reason",
+        F.expr(
+            """CASE WHEN n_chars < 80 THEN 'min_length'
+                    WHEN n_toks < 15 THEN 'min_words'
+                    WHEN 10 * sum_len < 20 * n_toks
+                         OR 10 * sum_len > 120 * n_toks THEN 'word_length'
+                    WHEN stop_hits < 2 THEN 'stopword'
+                    WHEN 10 * n_distinct < 3 * n_toks THEN 'diversity'
+                    ELSE 'kept' END"""
+        ),
+    )
+    return judged.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        "reason",
+        (F.col("reason") == "kept").alias("kept"),
+    )

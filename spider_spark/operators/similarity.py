@@ -762,3 +762,154 @@ def ann_pq(spark, sf_dir):
             F.round("adc", 4).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998): greedy
+# relevance-vs-redundancy top-k over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 12
+_MMR_K = 4
+_MMR_Q = 0  # query vector id
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs — one sel_k per pick, each an
+    argmax over the remaining pool with max-sim-to-selected from the
+    precomputed pool×pool pair table (same unrolling discipline as the
+    ann_ivf k-means oracle)."""
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, k)
+        )
+        steps.append(f"""
+sel{k} AS (
+  SELECT p.vec_id, p.rel, 0.7 * p.rel - 0.3 * ms.ms AS mmr
+  FROM pool p
+  JOIN (SELECT va AS vec_id, max(sim) AS ms
+        FROM pairs WHERE vb IN ({prev}) GROUP BY va) ms
+    ON ms.vec_id = p.vec_id
+  WHERE p.vec_id NOT IN ({prev})
+  ORDER BY mmr DESC, p.vec_id LIMIT 1
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick, vec_id, rel,"
+        f" round(mmr, 4) AS mmr FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {_MMR_Q}
+),
+cand AS (
+  SELECT v.vec_id,
+         round(list_cosine_similarity(q.qe, v.embedding::DOUBLE[]), 4) AS rel
+  FROM embeddings v CROSS JOIN q WHERE v.vec_id <> {_MMR_Q}
+),
+pool AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 4) AS sim
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+sel1 AS (
+  SELECT vec_id, rel, 0.7 * rel AS mmr
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+),{",".join(steps)}
+{finals}
+"""
+
+
+@query("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark, sf_dir):
+    """MMR diversified top-k (Carbonell & Goldstein 1998): greedily pick
+    argmax of 0.7·relevance − 0.3·max-similarity-to-already-picked from a
+    relevance top-12 pool — the rerank step a retrieval pipeline runs
+    after ANN so the k results aren't 4 near-copies of each other.
+
+    Float discipline: relevance and pair similarities are rounded to 4 dp
+    BEFORE any greedy comparison (ties then broken by vec_id), so both
+    engines take identical argmax branches — the greedy chain never
+    compares unrounded engine-local floats (the d5/ADVICE lesson).
+
+    Scale shape: the only corpus-sized work is the pool construction —
+    one scan, broadcast 1-row query, TakeOrderedAndProject top-12.
+    Everything after (pool×pool pair table, 4 chained argmax steps) is
+    column math over ≤12-row DataFrames; the greedy recursion is
+    inherently sequential but runs on pool-cardinality data, never the
+    corpus. Left lazy (pool re-derives per step) to keep the query a pure
+    plan; a production run would .persist() pool first."""
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") == _MMR_Q).select(F.col("emb").alias("qe"))
+    cand = (
+        e.filter(F.col("vec_id") != _MMR_Q)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cos(F.col("qe"), F.col("emb")), 4).alias("rel"),
+            "emb",
+        )
+    )
+    pool = cand.orderBy(F.desc("rel"), "vec_id").limit(_MMR_POOL)
+    a = pool.select(
+        F.col("vec_id").alias("va"), F.col("emb").alias("ea")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("vb"), F.col("emb").alias("eb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(_cos(F.col("ea"), F.col("eb")), 4).alias("sim"),
+        )
+    )
+    sel = (
+        pool.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("pick"),
+            "vec_id",
+            "rel",
+            F.round(F.col("rel") * 0.7, 4).alias("mmr"),
+        )
+    )
+    picked = sel
+    for k in range(2, _MMR_K + 1):
+        ids = picked.select(F.col("vec_id").alias("vb"))
+        ms = (
+            pairs.join(F.broadcast(ids), "vb")
+            .groupBy("va")
+            .agg(F.max("sim").alias("ms"))
+        )
+        step = (
+            pool.join(
+                F.broadcast(picked.select("vec_id")), "vec_id", "left_anti"
+            )
+            .join(ms, F.col("vec_id") == F.col("va"))
+            .select(
+                "vec_id",
+                "rel",
+                (F.col("rel") * 0.7 - F.col("ms") * 0.3).alias("mmr_raw"),
+            )
+            .orderBy(F.desc("mmr_raw"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(k).cast("long").alias("pick"),
+                "vec_id",
+                "rel",
+                F.round("mmr_raw", 4).alias("mmr"),
+            )
+        )
+        picked = picked.unionByName(step)
+    return picked

@@ -1,0 +1,136 @@
+"""Invariant tests for the crawl-scheduling batch (c1/c2/c3/t27) and the
+MMR rerank — semantic properties the DuckDB value-hash oracle can't state
+(tier partitioning, PSL correctness, greedy-pick optimality), plus plan
+hygiene on the corpus-sized paths."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    from spider_spark.operators.crawlops import (
+        c1_recrawl_schedule,
+        c2_etld1_rollup,
+        c3_frontier_reprioritize,
+        t27_filter_cascade,
+    )
+    from spider_spark.operators.similarity import sim_mmr_rerank
+
+    return {
+        "c1": c1_recrawl_schedule(spark, SF).collect(),
+        "c2": c2_etld1_rollup(spark, SF).collect(),
+        "c3": c3_frontier_reprioritize(spark, SF).collect(),
+        "t27": t27_filter_cascade(spark, SF).collect(),
+        "mmr": sim_mmr_rerank(spark, SF).collect(),
+    }
+
+
+def test_c1_schedule_invariants(rows):
+    from spider_spark.operators.crawlops import _C1_TIERS
+
+    hours = {name: h for _, name, h in _C1_TIERS}
+    floors = sorted((f, name) for f, name, _ in _C1_TIERS)
+    assert rows["c1"], "schedule is empty"
+    tiers_seen = set()
+    for r in rows["c1"]:
+        assert 0 <= r.n_changes <= r.n_fetches
+        assert 0 <= r.change_ppm <= 1_000_000
+        # tier is the highest floor ≤ change_ppm
+        expect = max(
+            (f, name) for f, name in floors if r.change_ppm >= f
+        )[1]
+        assert r.revisit_tier == expect
+        assert r.revisit_hours == hours[r.revisit_tier]
+        # next_due = last_seen + interval; last_seen is a 2024+ epoch
+        assert r.next_due_s - 3600 * r.revisit_hours > 1_700_000_000
+        tiers_seen.add(r.revisit_tier)
+    assert len(tiers_seen) >= 2, "fixture should exercise multiple tiers"
+
+
+def test_c2_psl_extraction(rows):
+    from spider_spark.operators.crawlops import _C2_PSL2
+
+    assert rows["c2"]
+    for r in rows["c2"]:
+        labels = r.registrable_domain.split(".")
+        tail2 = ".".join(labels[-2:])
+        if tail2 in _C2_PSL2:
+            # e.g. srcN.co.uk — exactly one label before the 2-label suffix
+            assert len(labels) == 3
+        else:
+            assert len(labels) == 2
+        assert 1 <= r.n_hosts <= r.n_pages
+        # min_host must belong to this registrable domain
+        assert r.min_host.endswith("." + r.registrable_domain) or (
+            r.min_host == r.registrable_domain
+        )
+
+
+def test_c3_priority_composition(rows):
+    by_src: dict[str, set] = {}
+    for r in rows["c3"]:
+        assert 1 <= r.host_tier <= 4
+        assert 0 <= r.depth < 6
+        tie = r.priority - r.host_tier * 1_000_000 - r.depth * 10_000
+        assert 0 <= tie < 10_000
+        by_src.setdefault(r.source, set()).add(r.host_tier)
+    # every URL of one host shares that host's tier
+    assert all(len(tiers) == 1 for tiers in by_src.values())
+    # and better-tier URLs always sort ahead of worse-tier ones
+    tier_of = {s: next(iter(t)) for s, t in by_src.items()}
+    pr = sorted(rows["c3"], key=lambda r: r.priority)
+    tiers_in_order = [tier_of[r.source] for r in pr]
+    assert tiers_in_order == sorted(tiers_in_order)
+
+
+def test_t27_first_failing_reason(rows):
+    reasons = {r.reason for r in rows["t27"]}
+    assert "kept" in reasons
+    order = ["min_length", "min_words", "word_length", "stopword", "diversity"]
+    for r in rows["t27"]:
+        assert r.kept == (r.reason == "kept")
+        assert r.reason == "kept" or r.reason in order
+        if r.reason in order[1:]:  # a later rule fired → earlier ones passed
+            idx = order.index(r.reason)
+            if idx >= 2:
+                assert r.n_toks >= 15
+
+
+def test_mmr_greedy_semantics(rows, spark):
+    from spider_spark.operators.similarity import _MMR_K, _MMR_POOL
+
+    mmr = sorted(rows["mmr"], key=lambda r: r.pick)
+    assert [r.pick for r in mmr] == list(range(1, _MMR_K + 1))
+    assert len({r.vec_id for r in mmr}) == _MMR_K
+    # pick 1 is the relevance argmax: every other pick has rel <= pick1's
+    assert all(r.rel <= mmr[0].rel for r in mmr[1:])
+    # mmr = 0.7·rel − 0.3·maxsim with maxsim ∈ [−1, 1] (cosines of random
+    # embeddings can be negative, so the redundancy term may ADD)
+    for r in mmr[1:]:
+        assert abs(r.mmr - 0.7 * r.rel) <= 0.3 + 1e-9
+
+
+def test_corpus_paths_have_no_cartesian(spark):
+    """Plan hygiene: c1/c2/t27 corpus-sized plans must contain no
+    BroadcastNestedLoopJoin or CartesianProduct (MMR's pool×pool nested
+    loop is pool-sized by construction and exempt)."""
+    from spider_spark.operators.crawlops import (
+        c1_recrawl_schedule,
+        c2_etld1_rollup,
+        c3_frontier_reprioritize,
+        t27_filter_cascade,
+    )
+
+    for fn in (
+        c1_recrawl_schedule,
+        c2_etld1_rollup,
+        c3_frontier_reprioritize,
+        t27_filter_cascade,
+    ):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
