@@ -395,3 +395,153 @@ def mm_audio_features(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return audio_features(d)
+
+
+# ---------------------------------------------------------------------------
+# d13 — perceptual-hash image near-dup: the multimodal×dedup composition
+# (mapInPandas phash path feeding a d4-style Hamming band join)
+# ---------------------------------------------------------------------------
+
+_D13_BANDS = 4
+_D13_BAND_BITS = 16
+_D13_HAMMING_MAX = 3  # pigeonhole-complete with 4 bands
+
+# Variant corpus: every document contributes its payload twice — verbatim
+# (img_id = 2·doc_id) and with the first two characters swapped
+# (img_id = 2·doc_id + 1). The fake image is the first 64 payload bytes,
+# so for payloads ≥ 64 bytes the swap touches only pixels 0/1 and keeps
+# the mean: those planted pairs are within Hamming distance 2 BY
+# CONSTRUCTION. Shorter payloads tile (pixel i = byte i mod len) and may
+# drift past the threshold — deterministically, identically, in both
+# engines. Unrelated 64-bit hashes collide within 3 with probability
+# ~2e-14, so the output is exactly the surviving planted (and
+# exact-duplicate-text) pairs on any fixture.
+_D13_VARIANTS = """
+v AS (
+  SELECT doc_id * 2 AS img_id, source, text AS payload FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, source,
+         substr(text, 2, 1) || substr(text, 1, 1) || substr(text, 3)
+  FROM documents
+)"""
+
+_D13_BAND_SELECTS = "\n      UNION ALL ".join(
+    f"SELECT img_id, source, phash, {i} AS band,"
+    f" (phash >> {i * _D13_BAND_BITS}) & {(1 << _D13_BAND_BITS) - 1} AS bits"
+    " FROM h"
+    for i in range(_D13_BANDS)
+)
+
+_D13_ORACLE = f"""
+WITH {_D13_VARIANTS},
+px AS (
+  SELECT img_id, source,
+         list_transform(range(0, 64),
+           i -> ascii(substr(payload, ((i % length(payload)) + 1)::INT, 1))
+         ) AS pix
+  FROM v
+), m AS (
+  SELECT img_id, source, pix, list_sum(pix) / 64.0 AS mean FROM px
+), h AS (
+  SELECT img_id, source,
+    (CASE WHEN raw >= 9223372036854775808::HUGEINT
+          THEN raw - 18446744073709551616::HUGEINT
+          ELSE raw END)::BIGINT AS phash
+  FROM (
+    SELECT img_id, source,
+      list_sum(list_transform(range(0, 64),
+        i -> CASE WHEN pix[(i + 1)::INT] > mean
+                  THEN (1::HUGEINT << i::INT) ELSE 0::HUGEINT END)) AS raw
+    FROM m)
+), bands AS (
+      {_D13_BAND_SELECTS}
+)
+SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.source = b.source AND a.band = b.band AND a.bits = b.bits
+ AND a.img_id < b.img_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_D13_HAMMING_MAX}
+"""
+
+
+@query("d13_phash_neardup", _D13_ORACLE)
+def d13_phash_neardup(spark, sf_dir):
+    """Perceptual-hash image near-dup — the multimodal×dedup composition:
+    the SAME Arrow-batched ``image_features`` mapInPandas kernel that
+    mm_image_features exercises feeds a d4-style pigeonhole band join
+    (4 bands × 16 bits → Hamming ≤ 3 complete), blocked by source so no
+    global band group ever holds a whole corpus. Near-dup images are
+    planted deterministically (first-two-character swap: for ≥ 64-byte
+    payloads it touches only pixels 0–1 and preserves the mean, so the
+    pair differs in ≤ 2 hash bits), making the result exact and
+    fixture-independent.
+
+    Scale shape: phash extraction is the batched numpy kernel (decode slot
+    per row, everything else whole-batch); candidates come only from
+    (source, band, bits) equi-groups — ~corpus/(sources·2^16) images per
+    group — and the exact bit_count(xor) verify runs on candidates only.
+    The one corpus-sized exchange beyond the band join is the thin
+    (img_id ⋈ source) attach after the fixed-schema mapInPandas (the
+    kernel's output schema is the shared IMAGE_META_SCHEMA, which does
+    not carry block keys)."""
+    d = load(spark, sf_dir, "documents")
+    variants = d.select(
+        (F.col("doc_id") * 2).alias("img_id"),
+        "source",
+        F.col("text").alias("payload_s"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") * 2 + 1).alias("img_id"),
+            "source",
+            F.concat(
+                F.expr("substr(text, 2, 1)"),
+                F.expr("substr(text, 1, 1)"),
+                F.expr("substr(text, 3)"),
+            ).alias("payload_s"),
+        )
+    )
+    feats = image_features(
+        variants.select(
+            "img_id", F.encode("payload_s", "utf-8").alias("payload")
+        ),
+        id_col="img_id",
+    ).select(F.col("doc_id").alias("img_id"), "phash")
+    docs = feats.join(variants.select("img_id", "source"), "img_id")
+    mask = (1 << _D13_BAND_BITS) - 1
+    bands = docs.select(
+        "img_id",
+        "source",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), i * _D13_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for i in range(_D13_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("img_id", "source", "phash", "bb.band", "bb.bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .filter(hamming <= _D13_HAMMING_MAX)
+        .select(
+            F.col("a.img_id").alias("id_a"),
+            F.col("b.img_id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

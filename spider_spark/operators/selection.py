@@ -298,3 +298,102 @@ def d12_url_dedup(spark, sf_dir):
         F.min("doc_id").cast("long").alias("rep_doc"),
         F.count(F.lit(1)).cast("long").alias("n_variants"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t28 — corpus mixture drift: per-source token-distribution L1 distance
+# from the corpus-wide distribution, in exact ppm integers
+# ---------------------------------------------------------------------------
+
+_T28_BUCKETS = 64
+_T28_PPM = 1_000_000
+
+_T28_ORACLE = f"""
+WITH occ AS (
+  SELECT source,
+         ((mm % {_T28_BUCKETS}) + {_T28_BUCKETS}) % {_T28_BUCKETS} AS bucket
+  FROM (SELECT source, {sqlmurmur.murmur32_string_aliases("tok", "mm", "t28")}
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents))
+), per AS (
+  SELECT source, bucket, count(*) AS c FROM occ GROUP BY source, bucket
+), stot AS (
+  SELECT source, sum(c) AS s FROM per GROUP BY source
+), gmarg AS (
+  SELECT bucket, sum(c) AS g FROM per GROUP BY bucket
+), gtot AS (
+  SELECT sum(c) AS gt FROM per
+), grid AS (
+  SELECT st.source, r.range AS bucket FROM stot st
+  CROSS JOIN range(0, {_T28_BUCKETS}) r
+), ppm AS (
+  SELECT grid.source,
+         CAST(({_T28_PPM} * COALESCE(p.c, 0)) // st.s AS BIGINT) AS sppm,
+         CAST(({_T28_PPM} * COALESCE(g.g, 0)) // gt.gt AS BIGINT) AS gppm
+  FROM grid
+  LEFT JOIN per p ON p.source = grid.source AND p.bucket = grid.bucket
+  LEFT JOIN gmarg g ON g.bucket = grid.bucket
+  JOIN stot st ON st.source = grid.source
+  CROSS JOIN gtot gt
+)
+SELECT ppm.source,
+       CAST(sum(abs(sppm - gppm)) AS BIGINT) AS drift_ppm,
+       CAST(max(st.s) AS BIGINT) AS n_tokens
+FROM ppm JOIN stot st ON st.source = ppm.source
+GROUP BY ppm.source
+"""
+
+
+@query("t28_source_drift", _T28_ORACLE)
+def t28_source_drift(spark, sf_dir):
+    """Corpus mixture drift: each source's hashed-token distribution vs
+    the corpus-wide distribution, as an L1 distance over 64 hash buckets
+    in exact ppm integers (2·10^6 = total variation ×2 upper bound) — the
+    monitoring statistic a training-mix pipeline tracks to catch a source
+    whose content shifted between crawls (the distribution-shift alarm
+    DSIR-style reweighting (t25) would then correct).
+
+    Scale shape: the only corpus-sized work is the token explode feeding a
+    groupBy(source, bucket) that partial-aggregates to ≤ |sources|·64 rows
+    before the exchange. Everything after — per-source totals, the global
+    marginal, the dense source×bucket grid with COALESCE-0 for absent
+    buckets — is column math over that tiny aggregate. Integer ppm floors
+    on both engines, so the hash check has no float margin."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "source", F.pmod(F.hash("tok"), F.lit(_T28_BUCKETS)).alias("bucket")
+    )
+    per = occ.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    stot = per.groupBy("source").agg(F.sum("c").alias("s"))
+    glob = per.groupBy("bucket").agg(F.sum("c").alias("g"))
+    gt = per.agg(F.sum("c").alias("gt"))
+    grid = stot.crossJoin(
+        F.broadcast(
+            per.sparkSession.range(_T28_BUCKETS).select(
+                F.col("id").alias("bucket")
+            )
+        )
+    )
+    ppm = (
+        grid.join(per, ["source", "bucket"], "left")
+        .join(F.broadcast(glob), "bucket", "left")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "s",
+            F.expr(
+                f"CAST(({_T28_PPM} * COALESCE(c, 0L)) div s AS BIGINT)"
+            ).alias("sppm"),
+            F.expr(
+                f"CAST(({_T28_PPM} * COALESCE(g, 0L)) div gt AS BIGINT)"
+            ).alias("gppm"),
+        )
+    )
+    return ppm.groupBy("source").agg(
+        F.sum(F.abs(F.col("sppm") - F.col("gppm")))
+        .cast("long")
+        .alias("drift_ppm"),
+        F.max("s").cast("long").alias("n_tokens"),
+    )

@@ -134,3 +134,50 @@ def test_corpus_paths_have_no_cartesian(spark):
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_d13_planted_pairs_all_found(spark):
+    """Every document of ≥ 64 bytes plants one near-dup image pair
+    (2·doc_id, 2·doc_id+1) at Hamming ≤ 2 by construction: the 8×8 fake
+    image is the FIRST 64 payload bytes, so a first-two-character swap
+    touches only pixels 0–1 and preserves the mean. Shorter payloads tile
+    and may drift past the threshold — excluded from the must-find set
+    (deterministically, identically, in both engines)."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators import load
+    from spider_spark.operators.multimodal import d13_phash_neardup
+
+    out = d13_phash_neardup(spark, SF).collect()
+    doc_ids = [
+        r.doc_id
+        for r in load(spark, SF, "documents")
+        .filter(F.length("text") >= 64)
+        .select("doc_id")
+        .collect()
+    ]
+    assert doc_ids
+    found = {(r.id_a, r.id_b) for r in out}
+    for d in doc_ids:
+        assert (2 * d, 2 * d + 1) in found
+    for r in out:
+        assert r.id_a < r.id_b
+        assert 0 <= r.hamming <= 3
+
+
+def test_t28_drift_bounds(spark):
+    from spider_spark.operators.selection import t28_source_drift
+
+    rows = t28_source_drift(spark, SF).collect()
+    assert rows
+    # L1 of two prob. distributions in ppm is ≤ 2e6 (floors only shrink)
+    assert all(0 <= r.drift_ppm <= 2_000_000 for r in rows)
+    assert any(r.drift_ppm > 0 for r in rows), "sources should differ"
+    assert all(r.n_tokens > 0 for r in rows)
+    plan = (
+        t28_source_drift(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
