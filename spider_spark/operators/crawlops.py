@@ -409,3 +409,59 @@ def t27_filter_cascade(spark, sf_dir):
         "reason",
         (F.col("reason") == "kept").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w9 — host concentration (Lorenz curve): how skewed the corpus is
+# ---------------------------------------------------------------------------
+
+_W9_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS host_bytes
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(host_bytes) AS t FROM per)
+SELECT p.source, p.host_bytes,
+       CAST(row_number() OVER (ORDER BY p.host_bytes DESC, p.source)
+            AS BIGINT) AS rk,
+       CAST((1000000 * sum(p.host_bytes) OVER (
+              ORDER BY p.host_bytes DESC, p.source
+              ROWS UNBOUNDED PRECEDING)) // tot.t AS BIGINT) AS cum_ppm
+FROM per p CROSS JOIN tot
+"""
+
+
+@query("w9_host_concentration", _W9_ORACLE)
+def w9_host_concentration(spark, sf_dir):
+    """Host concentration curve (Lorenz): rank hosts by total bytes and
+    report each rank's cumulative corpus share in exact ppm — the skew
+    diagnostic that tells a crawl operator "the top 40 hosts are 80 % of
+    the corpus", which is precisely the hot-host condition the engine's
+    salted dequeue (O5) and AQE skew handling exist for.
+
+    Scale shape: the corpus-sized work is ONE map-side-combinable
+    groupBy(source) sum; ranking and the running share are a window over
+    the |hosts|-row aggregate only — host cardinality, the same
+    single-task-window trade t13/w5 document (swap for the w6 sketch
+    pattern if hosts ever outgrow one task). Integer ppm floors keep the
+    hash margin-free."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("host_bytes")
+    )
+    tot = per.agg(F.sum("host_bytes").alias("t"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("host_bytes"), "source")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "host_bytes",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.expr(
+                "CAST((1000000 * sum(host_bytes) OVER ("
+                "ORDER BY host_bytes DESC, source ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND CURRENT ROW)) div t AS BIGINT)"
+            ).alias("cum_ppm"),
+        )
+    )

@@ -484,3 +484,83 @@ def g5_host_degrees(spark, sf_dir: str):
             F.coalesce("in_distinct", F.lit(0)).alias("in_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g6 — co-visitation counts: the item-item collaborative-filtering shape
+# ---------------------------------------------------------------------------
+
+_G6_PAGES = 200
+_G6_CAP = 20  # per-user history truncation, the standard CF practice
+_G6_MIN_CO = 2
+
+
+def _g6_oracle() -> str:
+    from spider_spark.operators.sqlmurmur import hashlong_aliases
+
+    return f"""
+WITH visits AS (
+  SELECT user_id, ((ph % {_G6_PAGES}) + {_G6_PAGES}) % {_G6_PAGES} AS page
+  FROM (SELECT user_id, {hashlong_aliases("event_id", "42", "ph", "g6")}
+        FROM events)
+), vc AS (
+  SELECT user_id, page, count(*) AS v
+  FROM visits GROUP BY user_id, page
+), topn AS (
+  SELECT user_id, page FROM (
+    SELECT user_id, page,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY v DESC, page) AS rn
+    FROM vc
+  ) WHERE rn <= {_G6_CAP}
+)
+SELECT a.page AS page_a, b.page AS page_b,
+       count(*) AS co_count
+FROM topn a JOIN topn b
+  ON a.user_id = b.user_id AND a.page < b.page
+GROUP BY a.page, b.page
+HAVING count(*) >= {_G6_MIN_CO}
+"""
+
+
+@query("g6_covisitation", _g6_oracle())
+def g6_covisitation(spark, sf_dir):
+    """Co-visitation counts — the item-item collaborative-filtering /
+    related-pages primitive: pages visited by the same user, paired
+    within that user's TOP-20 history only (per-user history
+    truncation is the standard practice that bounds the quadratic
+    self-join: ≤ cap² pairs per user regardless of how heavy the user
+    is — the same cap-the-oracle discipline d2 documents, except here
+    the cap IS the production semantics, not a test shortcut). Visits
+    derive deterministically from events (page = pmod(hash(event_id),
+    200), murmur-parity with the oracle).
+
+    Scale shape: groupBy(user_id, page) partial-aggregates the log;
+    the top-N filter is a per-user window (key cardinality = users, no
+    global window); the pair join is user-keyed equi-join of two ≤ cap
+    row groups; final groupBy(page_a, page_b) is map-side combinable.
+    No stage ever materializes an uncapped pair set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events")
+    visits = e.select(
+        "user_id",
+        F.pmod(F.hash("event_id"), F.lit(_G6_PAGES)).alias("page"),
+    )
+    vc = visits.groupBy("user_id", "page").agg(F.count(F.lit(1)).alias("v"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("v"), "page")
+    topn = (
+        vc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _G6_CAP)
+        .select("user_id", "page")
+    )
+    a = topn.select("user_id", F.col("page").alias("page_a"))
+    b = topn.select("user_id", F.col("page").alias("page_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("page_a") < F.col("page_b"))
+        .groupBy("page_a", "page_b")
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= _G6_MIN_CO)
+    )

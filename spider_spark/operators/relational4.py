@@ -668,3 +668,66 @@ def u7_apply_changelog(spark, sf_dir):
         F.col("rec.value_cents").alias("last_value_cents"),
         F.col("rec.ts_ms").alias("last_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a14 — equi-width histogram: 16 integer buckets over documents.n_chars
+# ---------------------------------------------------------------------------
+
+_A14_NBUCKETS = 16
+
+_A14_ORACLE = f"""
+WITH ext AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS total
+  FROM documents
+)
+SELECT CAST(least({_A14_NBUCKETS - 1},
+            ({_A14_NBUCKETS} * (d.n_chars - e.lo)) // (e.hi - e.lo + 1))
+       AS BIGINT) AS bucket,
+       CAST(e.lo + (least({_A14_NBUCKETS - 1},
+            ({_A14_NBUCKETS} * (d.n_chars - e.lo)) // (e.hi - e.lo + 1))
+            * (e.hi - e.lo + 1)) // {_A14_NBUCKETS} AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(min(d.n_chars) AS BIGINT) AS min_val,
+       CAST(max(d.n_chars) AS BIGINT) AS max_val
+FROM documents d CROSS JOIN ext e
+GROUP BY 1, 2
+"""
+
+
+@query("a14_equiwidth_hist", _A14_ORACLE)
+def a14_equiwidth_hist(spark, sf_dir):
+    """Equi-width histogram of documents.n_chars in 16 integer buckets —
+    the profiling primitive behind every "distribution of page sizes"
+    dashboard and behind choosing partition split points. bucket =
+    16·(x−lo) div (hi−lo+1), clamped to 15 — pure integer math, so both
+    engines bucket identically with no float edge at the boundaries.
+
+    Scale shape: the extent (min/max/count) is ONE map-side-combinable
+    aggregate broadcast back onto the scan (1-row build side); the
+    histogram itself is a groupBy on ≤16 keys — partial aggregation
+    collapses each task to ≤16 rows before the exchange. Two scans
+    total, a constant-size shuffle."""
+    d = load(spark, sf_dir, "documents")
+    ext = d.agg(
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    n = _A14_NBUCKETS
+    bucketed = d.crossJoin(F.broadcast(ext)).select(
+        F.expr(
+            f"CAST(least({n - 1}, ({n} * (n_chars - lo)) div (hi - lo + 1))"
+            " AS BIGINT)"
+        ).alias("bucket"),
+        F.expr(
+            f"CAST(lo + (least({n - 1}, ({n} * (n_chars - lo))"
+            f" div (hi - lo + 1)) * (hi - lo + 1)) div {n} AS BIGINT)"
+        ).alias("bucket_lo"),
+        "n_chars",
+    )
+    return bucketed.groupBy("bucket", "bucket_lo").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_val"),
+        F.max("n_chars").cast("long").alias("max_val"),
+    )

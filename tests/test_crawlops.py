@@ -181,3 +181,41 @@ def test_t28_drift_bounds(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_a14_histogram_partitions_corpus(spark):
+    from spider_spark.operators import load
+    from spider_spark.operators.relational4 import a14_equiwidth_hist
+
+    rows = a14_equiwidth_hist(spark, SF).collect()
+    total = load(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert all(0 <= r.bucket < 16 for r in rows)
+    for r in rows:
+        assert r.bucket_lo <= r.min_val <= r.max_val
+
+
+def test_w9_concentration_monotone(spark):
+    from spider_spark.operators.crawlops import w9_host_concentration
+
+    rows = sorted(
+        w9_host_concentration(spark, SF).collect(), key=lambda r: r.rk
+    )
+    assert rows[-1].cum_ppm in (999999, 1000000) or rows[-1].cum_ppm > 999990
+    cums = [r.cum_ppm for r in rows]
+    assert cums == sorted(cums)
+    byts = [r.host_bytes for r in rows]
+    assert byts == sorted(byts, reverse=True)
+
+
+def test_g6_covisitation_capped_and_symmetric_free(spark):
+    from spider_spark.operators.graph import _G6_CAP, _G6_MIN_CO, g6_covisitation
+
+    rows = g6_covisitation(spark, SF).collect()
+    assert rows, "expected co-visited pairs at sf0.001"
+    seen = set()
+    for r in rows:
+        assert r.page_a < r.page_b, "pairs must be canonical (a < b)"
+        assert r.co_count >= _G6_MIN_CO
+        assert (r.page_a, r.page_b) not in seen
+        seen.add((r.page_a, r.page_b))
