@@ -87,6 +87,44 @@ FROM tiered
 """
 
 
+def c1_observations(e):
+    """(page_id, changed, ts_s) fetch observations derived from an events
+    DataFrame — shared by the batch scheduler below and the streaming
+    incremental updater (streaming/schedule_stream.py), so stream⇄batch
+    parity is definitional."""
+    return e.select(
+        F.pmod(F.hash("event_id"), F.lit(_C1_PAGES)).alias("page_id"),
+        F.when(F.pmod(F.hash(F.expr("event_id * 31 + 7")), F.lit(5)) == 0, 1)
+        .otherwise(0)
+        .alias("changed"),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_s"),
+    )
+
+
+def schedule_from_obs_agg(agg):
+    """Tier + due-time columns over a (page_id, n_fetches, n_changes,
+    last_seen_s) aggregate — the post-aggregation half of c1, shared with
+    the streaming updater's merge-on-read compaction."""
+    rated = agg.withColumn(
+        "change_ppm", F.expr(f"({_C1_PPM} * n_changes) div n_fetches")
+    )
+    tiered = rated.withColumn(
+        "revisit_tier", F.expr(_c1_tier_case("change_ppm"))
+    )
+    hours = F.expr(_c1_hours_case("revisit_tier"))
+    return tiered.select(
+        "page_id",
+        "n_fetches",
+        "n_changes",
+        "change_ppm",
+        "revisit_tier",
+        hours.cast("long").alias("revisit_hours"),
+        (F.col("last_seen_s") + F.lit(3600) * hours).alias("next_due_s"),
+    )
+
+
 @query("c1_recrawl_schedule", _C1_ORACLE)
 def c1_recrawl_schedule(spark, sf_dir):
     """Freshness-aware recrawl scheduling (Cho & Garcia-Molina 2003): each
@@ -104,39 +142,13 @@ def c1_recrawl_schedule(spark, sf_dir):
     shuffles. The schedule table this emits is exactly what the engine's
     frontier would consume as its priority column on re-enqueue.
     """
-    e = load(spark, sf_dir, "events")
-    obs = e.select(
-        F.pmod(F.hash("event_id"), F.lit(_C1_PAGES)).alias("page_id"),
-        F.when(
-            F.pmod(F.hash(F.expr("event_id * 31 + 7")), F.lit(5)) == 0, 1
-        )
-        .otherwise(0)
-        .alias("changed"),
-        F.expr(
-            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).alias("ts_s"),
-    )
+    obs = c1_observations(load(spark, sf_dir, "events"))
     agg = obs.groupBy("page_id").agg(
         F.count(F.lit(1)).alias("n_fetches"),
         F.sum("changed").cast("long").alias("n_changes"),
         F.max("ts_s").alias("last_seen_s"),
     )
-    rated = agg.withColumn(
-        "change_ppm", F.expr(f"({_C1_PPM} * n_changes) div n_fetches")
-    )
-    tiered = rated.withColumn(
-        "revisit_tier", F.expr(_c1_tier_case("change_ppm"))
-    )
-    hours = F.expr(_c1_hours_case("revisit_tier"))
-    return tiered.select(
-        "page_id",
-        "n_fetches",
-        "n_changes",
-        "change_ppm",
-        "revisit_tier",
-        hours.cast("long").alias("revisit_hours"),
-        (F.col("last_seen_s") + F.lit(3600) * hours).alias("next_due_s"),
-    )
+    return schedule_from_obs_agg(agg)
 
 
 # ---------------------------------------------------------------------------
@@ -464,4 +476,93 @@ def w9_host_concentration(spark, sf_dir):
                 " PRECEDING AND CURRENT ROW)) div t AS BIGINT)"
             ).alias("cum_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c4 — crawl snapshot diff: added / removed / changed / unchanged between
+# two crawls of the same site (the change detector that FEEDS c1)
+# ---------------------------------------------------------------------------
+
+_C4_MOD = 20  # 1/20 of pages removed, 1/20 changed, 1/20 duplicated-as-new
+
+_C4_ORACLE = f"""
+WITH a AS (
+  SELECT source || '/page/' || doc_id AS url, text FROM documents
+), fate AS (
+  SELECT source || '/page/' || doc_id AS url, text,
+         ((fh % {_C4_MOD}) + {_C4_MOD}) % {_C4_MOD} AS f
+  FROM (SELECT doc_id, source, text,
+               {hashlong_aliases("doc_id * 7 + 1", "42", "fh", "c4")}
+        FROM documents)
+), b AS (
+  SELECT url, CASE WHEN f = 1 THEN text || ' <updated>' ELSE text END AS text
+  FROM fate WHERE f <> 0
+  UNION ALL
+  SELECT url || '?v=2', text FROM fate WHERE f = 2
+), diff AS (
+  SELECT CASE WHEN a.url IS NULL THEN 'added'
+              WHEN b.url IS NULL THEN 'removed'
+              WHEN a.text <> b.text THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(a.url, b.url) AS url
+  FROM a FULL OUTER JOIN b ON a.url = b.url
+)
+SELECT status, count(*) AS n_urls, min(url) AS min_url
+FROM diff GROUP BY status
+"""
+
+
+@query("c4_snapshot_diff", _C4_ORACLE)
+def c4_snapshot_diff(spark, sf_dir):
+    """Crawl snapshot diff: FULL OUTER JOIN two crawls of the same site on
+    url and classify every page added / removed / changed / unchanged —
+    the change detector whose per-page verdicts are exactly the
+    "changed?" observations c1's freshness scheduler consumes. The second
+    snapshot is derived deterministically (hash fate per doc: 1/20
+    removed, 1/20 text-mutated, 1/20 re-published under a ?v=2 url), so
+    all four statuses occur on any fixture and both engines agree
+    bit-for-bit (change detection is string equality, no content hash to
+    keep in parity).
+
+    Scale shape: ONE co-partitioned shuffle — the full outer join keys
+    both snapshots on url; status is per-row CASE; the report is a
+    4-key map-side-combinable groupBy. At 10^10 URLs you would bucket
+    both snapshot tables by url so even that join is shuffle-free."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat_ws("/", F.col("source"), F.lit("page"), F.col("doc_id"))
+    a = d.select(url.alias("url"), "text")
+    fate = d.select(
+        url.alias("url"),
+        "text",
+        F.pmod(F.hash(F.expr("doc_id * 7 + 1")), F.lit(_C4_MOD)).alias("f"),
+    )
+    b = (
+        fate.filter(F.col("f") != 0)
+        .select(
+            "url",
+            F.when(
+                F.col("f") == 1, F.concat(F.col("text"), F.lit(" <updated>"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            fate.filter(F.col("f") == 2).select(
+                F.concat(F.col("url"), F.lit("?v=2")).alias("url"), "text"
+            )
+        )
+    )
+    diff = a.alias("a").join(
+        b.alias("b"), F.col("a.url") == F.col("b.url"), "full_outer"
+    ).select(
+        F.when(F.col("a.url").isNull(), "added")
+        .when(F.col("b.url").isNull(), "removed")
+        .when(F.col("a.text") != F.col("b.text"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("a.url"), F.col("b.url")).alias("url"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_urls"), F.min("url").alias("min_url")
     )

@@ -10,6 +10,10 @@ readStream → window agg → writeStream with watermarks.
 from spider_spark.streaming.joins import (  # noqa: F401
     attributed_conversions,
 )
+from spider_spark.streaming.schedule_stream import (  # noqa: F401
+    current_schedule,
+    run_schedule_stream,
+)
 from spider_spark.streaming.windows import (  # noqa: F401
     dedup_events_stream,
     session_counts_stream,

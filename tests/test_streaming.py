@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from spider_spark.streaming import sliding_avg_stream, tumbling_counts_stream
@@ -345,3 +347,64 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     out = run_dedup_stream_from_parquet(spark, str(events_dir), "t_dedup")
     ids = [r["event_id"] for r in out.collect()]
     assert sorted(ids) == list(range(10))  # each id exactly once
+
+
+def test_schedule_stream_matches_batch_c1(spark, sf_dir, tmp_path):
+    """Stream⇄batch parity for the incremental recrawl scheduler: events
+    split across 3 arrival files, folded one micro-batch at a time, must
+    yield exactly the schedule the batch operator computes on the full
+    table — and resuming with no new files must not double-count."""
+    from spider_spark.operators.crawlops import c1_recrawl_schedule
+    from spider_spark.streaming.schedule_stream import run_schedule_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arrivals = str(tmp_path / "arrivals")
+    # 3 deterministic disjoint slices ≙ 3 crawl rounds' observations
+    for i in range(3):
+        events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{arrivals}/round_{i}.parquet")
+    # point the stream at the directory of round files
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        d = f"{arrivals}/round_{i}.parquet"
+        for f_ in os.listdir(d):
+            if f_.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f_), os.path.join(flat, f"r{i}.parquet"))
+                n += 1
+    assert n == 3
+
+    work = str(tmp_path / "work")
+    got = run_schedule_stream(spark, flat, work)
+    want = c1_recrawl_schedule(spark, sf_dir)
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
+
+    # resume with the same inputs: checkpoint prevents re-folding
+    again = run_schedule_stream(spark, flat, work)
+    assert {tuple(r) for r in again.collect()} == want_rows
+    # and the delta store holds one subdir per micro-batch, no dupes
+    store = os.path.join(work, "obs_deltas")
+    assert len([e for e in os.listdir(store) if e.startswith("batch=")]) == 3
+
+
+def test_schedule_stream_replay_idempotent(spark, sf_dir, tmp_path):
+    """A crashed attempt's half-written delta (same batch id) is simply
+    overwritten on replay — per-batch overwrite is idempotent."""
+    from spider_spark.streaming.schedule_stream import (
+        _fold_one_batch,
+        current_schedule,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    store = str(tmp_path / "store")
+    _fold_one_batch(events, 0, store)
+    once = {tuple(r) for r in current_schedule(spark, store).collect()}
+    _fold_one_batch(events, 0, store)  # replay of the same batch id
+    twice = {tuple(r) for r in current_schedule(spark, store).collect()}
+    assert once == twice
