@@ -13,6 +13,7 @@ doesn't cover have a recorded, diffable signal each round.
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 TABLES = [
@@ -119,9 +120,24 @@ if __name__ == "__main__":
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    # --master lets the multi-executor parity test run the SAME
+    # oracle checks under local-cluster (separate executor JVMs)
+    master = "local[8]"
+    if "--master" in argv:
+        i = argv.index("--master")
+        master = argv[i + 1]
+        del argv[i : i + 2]
     sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
     only = argv[1].split(",") if len(argv) > 1 else None
-    spark = get_spark(master="local[8]")
+    extra = None
+    if "local-cluster" in master:
+        # executor JVMs spawn their own python workers, which don't
+        # inherit the driver's cwd — point them at the repo (the
+        # spark-submit path ships a zip via --py-files instead;
+        # tests/test_cli.py covers that route)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra = {"spark.executorEnv.PYTHONPATH": repo_root}
+    spark = get_spark(master=master, extra=extra)
     res = verify_all(spark, sf, only)
     bad = 0
     for k in sorted(res):

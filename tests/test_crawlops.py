@@ -219,3 +219,34 @@ def test_g6_covisitation_capped_and_symmetric_free(spark):
         assert r.co_count >= _G6_MIN_CO
         assert (r.page_a, r.page_b) not in seen
         seen.add((r.page_a, r.page_b))
+
+
+def test_new_operators_pass_oracle_under_local_cluster():
+    """Multi-executor parity for the operator layer: the SAME DuckDB
+    value-hash oracle checks, but with Spark running on
+    local-cluster[2,2,2048] — two executor backends in separate JVM
+    processes, real serialization/shuffle/broadcast boundaries. Covers
+    the round-4 shapes that most depend on distribution assumptions:
+    the iterative broadcast PageRank reprioritizer (c3), the
+    mapInPandas-fed band join (d13), and the broadcast-grid drift
+    monitor (t28)."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [
+            _sys.executable,
+            "-m",
+            "spider_spark.verify",
+            SF,
+            "c3_frontier_reprioritize,d13_phash_neardup,t28_source_drift",
+            "--master",
+            "local-cluster[2,2,2048]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "0 failing" in out.stdout
