@@ -426,13 +426,14 @@ def q19_waiting_suppliers(spark, sf_dir):
 _Q20_ORACLE = """
 WITH costs AS (
   SELECT l_partkey, l_suppkey,
-         round(min(l_extendedprice / l_quantity), 2) AS unit_cost
+         CAST(floor(min(l_extendedprice / l_quantity) * 100 + 0.5)
+              AS BIGINT) AS unit_cost_cents
   FROM lineitem GROUP BY l_partkey, l_suppkey),
-best AS (SELECT l_partkey, min(unit_cost) AS best_cost
+best AS (SELECT l_partkey, min(unit_cost_cents) AS best_cost
          FROM costs GROUP BY l_partkey)
-SELECT p.p_partkey, s.s_suppkey, s.s_name, c.unit_cost
+SELECT p.p_partkey, s.s_suppkey, s.s_name, c.unit_cost_cents
 FROM costs c
-JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost_cents = b.best_cost
 JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size < 10
 JOIN supplier s ON s.s_suppkey = c.l_suppkey
 """
@@ -450,19 +451,24 @@ def q20_min_cost_supplier(spark, sf_dir):
     reduced relation on partkey (co-partitioned with the join-back —
     one exchange reused); part and supplier are dims → broadcast; the
     p_size predicate prunes the part broadcast before the join. The
-    min comparison runs on 2 dp-ROUNDED costs in BOTH engines so a
-    summation-order ULP can't flip who is cheapest."""
+    min comparison runs on INTEGER CENTS (floor(x·100 + 0.5), the a12
+    discipline) in BOTH engines: at sf0.1 a half-cent-boundary cost hit
+    the Spark-vs-DuckDB round() disagreement on doubles, which integer
+    cents make impossible."""
     costs = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2
-            ).alias("unit_cost")
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 100
+                + 0.5
+            )
+            .cast("long")
+            .alias("unit_cost_cents")
         )
     )
     best = costs.groupBy(F.col("l_partkey").alias("bk")).agg(
-        F.min("unit_cost").alias("best_cost")
+        F.min("unit_cost_cents").alias("best_cost")
     )
     p = (
         load(spark, sf_dir, "part")
@@ -474,11 +480,11 @@ def q20_min_cost_supplier(spark, sf_dir):
         costs.join(
             best,
             (costs.l_partkey == best.bk)
-            & (costs.unit_cost == best.best_cost),
+            & (costs.unit_cost_cents == best.best_cost),
         )
         .join(F.broadcast(p), costs.l_partkey == p.p_partkey)
         .join(F.broadcast(s), costs.l_suppkey == s.s_suppkey)
-        .select("p_partkey", "s_suppkey", "s_name", "unit_cost")
+        .select("p_partkey", "s_suppkey", "s_name", "unit_cost_cents")
     )
 
 
