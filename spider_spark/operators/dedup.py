@@ -81,7 +81,7 @@ def d1_exact_dedup(spark, sf_dir):
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
-           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+           floor(inter * 10000.0 / (sa.n + sb.n - inter) + 0.5) / 10000.0 AS jaccard
     FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
                JOIN sizes sb ON pairs.id_b = sb.doc_id
     WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.82
@@ -123,11 +123,12 @@ def d2_token_jaccard(spark, sf_dir):
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    jac4 = _jac4(F.col("inter"), F.col("na") + F.col("nb") - F.col("inter"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(jac >= 0.82)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .select("id_a", "id_b", jac4.alias("jaccard"))
     )
 
 
@@ -160,7 +161,7 @@ def d2_token_jaccard(spark, sf_dir):
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
-           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+           floor(inter * 10000.0 / (sa.n + sb.n - inter) + 0.5) / 10000.0 AS jaccard
     FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
                JOIN sizes sb ON pairs.id_b = sb.doc_id
     WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
@@ -204,11 +205,12 @@ def d6_ngram3_jaccard(spark, sf_dir):
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    jac4 = _jac4(F.col("inter"), F.col("na") + F.col("nb") - F.col("inter"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(jac >= 0.2)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .select("id_a", "id_b", jac4.alias("jaccard"))
     )
 
 
@@ -353,7 +355,7 @@ def _d3_oracle(
       JOIN shlist sb ON sb.doc_id = c.id_b
     )
     SELECT id_a AS {a_name}, id_b AS {b_name},
-           round(inter * 1.0 / uni, 4) AS jaccard
+           floor(inter * 10000.0 / uni + 0.5) / 10000.0 AS jaccard
     FROM jac WHERE inter * 1.0 / uni >= 0.35
     """
 
@@ -401,6 +403,16 @@ def _shingle_sets(d):
     )
 
 
+def _jac4(inter, union):
+    """4-dp Jaccard as floor(x*1e4 + 0.5)/1e4 — ONE multiply, ONE divide,
+    one floor, all IEEE-deterministic, so Spark and DuckDB agree
+    bit-for-bit even when inter/union lands exactly on a half boundary
+    (e.g. 7/32): round(x, 4) does NOT — Spark HALF_UPs the decimal
+    expansion while DuckDB rints the scaled double (half-even), the q20
+    divergence class."""
+    return F.floor(inter * 10000.0 / union + F.lit(0.5)) / 10000.0
+
+
 def _jaccard_verify(cand, sh, a_name: str, b_name: str, thresh: float = 0.35):
     """Exact shingle-Jaccard on candidate pairs only; emits
     (a_name, b_name, jaccard) with jaccard >= thresh."""
@@ -413,7 +425,7 @@ def _jaccard_verify(cand, sh, a_name: str, b_name: str, thresh: float = 0.35):
         cand.join(sha, a_name)
         .join(shb, b_name)
         .filter(jac >= thresh)
-        .select(a_name, b_name, F.round(jac, 4).alias("jaccard"))
+        .select(a_name, b_name, _jac4(inter, union).alias("jaccard"))
     )
 
 
