@@ -566,3 +566,63 @@ def c4_snapshot_diff(spark, sf_dir):
     return diff.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_urls"), F.min("url").alias("min_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# c5 — frontier growth curve: new distinct URLs discovered per day and the
+# cumulative frontier size over time
+# ---------------------------------------------------------------------------
+
+_C5_URLS = 2_000
+
+_C5_ORACLE = f"""
+WITH obs AS (
+  SELECT ((uh % {_C5_URLS}) + {_C5_URLS}) % {_C5_URLS} AS url_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM (SELECT ts, {hashlong_aliases("event_id * 17 + 3", "42", "uh", "c5")}
+        FROM events)
+),
+first_seen AS (SELECT url_id, min(day) AS day FROM obs GROUP BY url_id),
+per_day AS (SELECT day, CAST(count(*) AS BIGINT) AS new_urls
+            FROM first_seen GROUP BY day)
+SELECT day, new_urls,
+       CAST(sum(new_urls) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_urls
+FROM per_day
+"""
+
+
+@query("c5_url_growth", _C5_ORACLE)
+def c5_url_growth(spark, sf_dir):
+    """Frontier growth curve: per UTC day, how many URLs were seen for the
+    FIRST time, and the cumulative distinct-URL total — the crawl-ops
+    dashboard number that says whether discovery is saturating (the curve
+    flattens) or the frontier is still exploding. Fetch observations are
+    derived deterministically from ``events`` (url = pmod(hash(event_id*17
+    + 3), 2000), day = epoch seconds div 86400 — integer end to end,
+    timezone-free).
+
+    Scale shape (10^10 URLs): first-seen is a map-side-combinable
+    groupBy(url).min(day); the per-day rollup and its running sum operate
+    on a |days|-sized aggregate (thousands of rows), so the unpartitioned
+    window is a deliberate single-task step over tiny data — the
+    documents-scale pattern this repo forbids never appears."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    obs = e.select(
+        F.pmod(F.hash(F.expr("event_id * 17 + 3")), F.lit(_C5_URLS)).alias(
+            "url_id"
+        ),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400"
+        ).alias("day"),
+    )
+    first_seen = obs.groupBy("url_id").agg(F.min("day").alias("day"))
+    per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_urls"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_urls", F.sum("new_urls").over(w).alias("cum_urls")
+    )

@@ -962,9 +962,9 @@ def connected_components(edges, prop_rounds: int = 50):
     return out
 
 
-@query(
-    "d7_neardup_clusters",
-    """
+# d2-pair transitive closure, shared by d7 (cluster map) and d14 (cluster
+# representative selection): CTE text up to and including `reach`.
+_D7_CTES = """
     WITH RECURSIVE tok0 AS (
       SELECT DISTINCT doc_id, source, lang, tok FROM (
         SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS tok
@@ -1000,10 +1000,18 @@ def connected_components(edges, prop_rounds: int = 50):
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     )
+"""
+
+_D7_ORACLE = (
+    _D7_CTES
+    + """
     SELECT u AS doc_id, least(u, min(v)) AS cluster
     FROM reach GROUP BY u
-    """,
+    """
 )
+
+
+@query("d7_neardup_clusters", _D7_ORACLE)
 def d7_neardup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING — the step after pair generation in a real
     training-data dedup pipeline (keep one doc per duplicate cluster, not
@@ -1298,4 +1306,74 @@ def d11_semdedup(spark, sf_dir):
         "cell",
         F.coalesce("nc", F.lit(0)).cast("long").alias("n_close_lower"),
         (F.coalesce("nc", F.lit(0)) == 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d14 — cluster representative selection: the terminal step of the dedup
+# pipeline (d2 pairs → d7 components → keep ONE doc per cluster)
+# ---------------------------------------------------------------------------
+
+_D14_ORACLE = (
+    _D7_CTES
+    + """
+    , clus AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster
+      FROM reach GROUP BY u
+    ),
+    everydoc AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster, d.n_chars
+      FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT cluster, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_docs
+      FROM everydoc
+    )
+    SELECT cluster, doc_id AS keeper, n_chars AS keeper_chars,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """
+)
+
+
+@query("d14_cluster_keep_best", _D14_ORACLE)
+def d14_cluster_keep_best(spark, sf_dir):
+    """Cluster representative selection — what a training-data pipeline
+    actually SHIPS after near-dup detection: every document lands in a
+    cluster (its d7 component, or a singleton cluster of itself), and per
+    cluster exactly one representative survives — the longest document
+    (``n_chars`` as the deterministic quality proxy), ties to the lowest
+    doc_id. Emits (cluster, keeper, keeper_chars, n_docs, n_dropped);
+    total n_dropped is the dedup ratio the pipeline reports.
+
+    Scale shape (10^10 docs): the left join against the cluster map is an
+    equi-join on doc_id; representative selection is a single map-side-
+    combinable ``groupBy(cluster).agg(max(struct(n_chars, -doc_id)),
+    count)`` — the argmax travels as one struct per cluster per map
+    partition, so a 10^6-copy boilerplate cluster never funnels its rows
+    through one window task (the oracle's row_number formulation is the
+    semantics, not the plan)."""
+    clusters = d7_neardup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    everydoc = docs.join(clusters, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("cluster", "doc_id")
+    )
+    best = everydoc.groupBy("cluster").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("nid")
+            )
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return best.select(
+        "cluster",
+        (-F.col("m.nid")).alias("keeper"),
+        F.col("m.c").alias("keeper_chars"),
+        "n_docs",
+        (F.col("n_docs") - F.lit(1)).alias("n_dropped"),
     )

@@ -564,3 +564,67 @@ def g6_covisitation(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("co_count"))
         .filter(F.col("co_count") >= _G6_MIN_CO)
     )
+
+
+# ---------------------------------------------------------------------------
+# g7 — anchor-text aggregation: the classic webgraph signal (REP's
+# "anchor text describes the target better than the target describes
+# itself") — per target host, the top incoming anchor strings by count
+# ---------------------------------------------------------------------------
+
+_G7_TOPK = 3
+
+_G7_ORACLE = f"""
+WITH {_GRAPH_CTES},
+anchors AS (
+  SELECT ((h.mh % hn.h) + hn.h) % hn.h AS dst,
+         array_to_string(list_slice(string_split(doc.text, ' '), 1, 3), ' ')
+           AS anchor
+  FROM hashed h JOIN documents doc USING (doc_id) CROSS JOIN hn
+),
+agg AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
+        FROM anchors GROUP BY dst, anchor),
+ranked AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst
+                            ORDER BY cnt DESC, anchor) AS rk
+  FROM agg)
+SELECT hs.source AS host, r.anchor, r.cnt, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN hosts hs ON hs.host_id = r.dst
+WHERE r.rk <= {_G7_TOPK}
+"""
+
+
+@query("g7_anchor_topk", _G7_ORACLE)
+def g7_anchor_topk(spark, sf_dir):
+    """Anchor-text aggregation over the derived link graph: each edge
+    (document linking src-host → dst-host, g1's derivation) carries the
+    linking document's first 3 words as its anchor string; per target
+    host, keep the top-3 anchors by incoming count (ties broken
+    lexicographically). This is the signal web search and crawl
+    prioritizers mine — what OTHER sites call a page.
+
+    Scale shape (10^10 edges): the (dst, anchor) rollup is one map-side-
+    combinable groupBy; the top-k window partitions by dst over that
+    aggregate (cardinality |hosts|×|distinct anchors per host|, already
+    reduced), never over the edge table; host-name resolution joins
+    |hosts|-sized tables (broadcast)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hosts, n_hosts, _ = _derived_graph(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    anchors = d.select(
+        F.pmod(F.hash("doc_id"), F.lit(n_hosts)).alias("dst"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)).alias(
+            "anchor"
+        ),
+    )
+    agg = anchors.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), "anchor")
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _G7_TOPK)
+        .join(F.broadcast(hosts), F.col("dst") == F.col("host_id"))
+        .select(F.col("source").alias("host"), "anchor", "cnt", "rk")
+    )

@@ -1148,3 +1148,82 @@ def t20_bm25_rank(spark, sf_dir):
         .filter(F.col("rk") <= _T20_TOPK)
         .select("doc_id", "lang", "n_matched", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# t29 — per-host boilerplate paragraph detection (the CCNet/trafilatura
+# motivation: navigation bars, cookie banners and footer text repeat on
+# most pages of a site and must be stripped before training)
+# ---------------------------------------------------------------------------
+
+_T29_CHUNK = 8  # same paragraph grain as d9_paragraph_dedup
+_T29_MIN_DOCS = 2
+_T29_MIN_PPM = 300_000  # paragraph must appear on >= 30% of the host's pages
+
+_T29_ORACLE = f"""
+WITH ex AS (
+  SELECT DISTINCT source, doc_id,
+         array_to_string(list_slice(string_split(text, ' '),
+                                    CAST(i*{_T29_CHUNK}+1 AS BIGINT),
+                                    CAST(i*{_T29_CHUNK}+{_T29_CHUNK} AS BIGINT)), ' ') AS para
+  FROM documents,
+       UNNEST(range(0, CAST(ceil(len(string_split(text, ' '))/{_T29_CHUNK}.0)
+                             AS BIGINT))) AS t(i)
+),
+pages AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+          FROM documents GROUP BY source),
+pp AS (SELECT source, para, CAST(count(*) AS BIGINT) AS n_docs
+       FROM ex GROUP BY source, para)
+SELECT pp.source, pp.para, pp.n_docs, pg.n_pages,
+       CAST((1000000 * pp.n_docs) // pg.n_pages AS BIGINT) AS frac_ppm
+FROM pp JOIN pages pg ON pg.source = pp.source
+WHERE pp.n_docs >= {_T29_MIN_DOCS}
+  AND (1000000 * pp.n_docs) // pg.n_pages >= {_T29_MIN_PPM}
+"""
+
+
+@query("t29_boilerplate", _T29_ORACLE)
+def t29_boilerplate(spark, sf_dir):
+    """Per-host boilerplate paragraph detection: a paragraph (fixed
+    8-word chunk, the d9 grain — a real corpus splits on newlines) that
+    appears on >= 30% of a host's pages (and at least 2) is site
+    boilerplate, not content; emit (source, para, n_docs, n_pages,
+    frac_ppm) so a cleaning pass can anti-join it away. The fraction is
+    exact integer ppm — no float threshold to defend across engines.
+
+    Scale shape (100 TB): the (source, para, doc_id) distinct and the
+    (source, para) count are both map-side combinable groupBys — a cookie
+    banner repeated on 10^7 pages of one host collapses per map partition
+    before the exchange; per-host page counts are a |hosts|-sized
+    aggregate joined back via broadcast. No window touches row-level
+    data. (CCNet, Wenzek et al., LREC 2020 strips repeated paragraphs the
+    same way at Common-Crawl scale.)"""
+    d = load(spark, sf_dir, "documents")
+    ex = (
+        d.select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(split(text,' '))"
+                    f"/{_T29_CHUNK}.0) as int) - 1),"
+                    f" i -> concat_ws(' ', slice(split(text,' '), i*{_T29_CHUNK}+1, {_T29_CHUNK})))"
+                )
+            ).alias("para"),
+        )
+        .groupBy("source", "para", "doc_id")
+        .agg(F.lit(1))  # distinct, map-side combinable
+    )
+    pages = d.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_pages")
+    )
+    pp = ex.groupBy("source", "para").agg(F.count("*").alias("n_docs"))
+    return (
+        pp.join(F.broadcast(pages), "source")
+        .filter(F.col("n_docs") >= _T29_MIN_DOCS)
+        .withColumn(
+            "frac_ppm", F.expr("(1000000 * n_docs) div n_pages")
+        )
+        .filter(F.col("frac_ppm") >= _T29_MIN_PPM)
+        .select("source", "para", "n_docs", "n_pages", "frac_ppm")
+    )

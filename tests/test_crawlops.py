@@ -250,3 +250,66 @@ def test_new_operators_pass_oracle_under_local_cluster():
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "0 failing" in out.stdout
+
+
+def test_t29_boilerplate_plan_broadcasts_page_counts(spark):
+    """t29's per-host page-count aggregate must broadcast back onto the
+    (source, para) rollup — the paragraph table must never sort-merge on
+    source — and representative detection must be pure aggregation."""
+    from spider_spark.operators.textstats import t29_boilerplate
+
+    plan = (
+        t29_boilerplate(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_d14_keep_best_is_window_free(spark):
+    """d14's argmax-per-cluster must compile to a map-side-combinable
+    aggregate (max(struct)), not a row_number window over the full doc
+    table — a 10^6-copy cluster would serialize through one window task."""
+    from spider_spark.operators.dedup import d14_cluster_keep_best
+
+    df = d14_cluster_keep_best(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "d14 must not use a window"
+    rows = {r.cluster: r for r in df.collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows.values()) == docs
+    for r in rows.values():
+        assert r.n_dropped == r.n_docs - 1
+        assert r.keeper >= 0
+
+
+def test_g7_anchor_topk_ranks_within_host(spark):
+    """g7: at most 3 anchors per host, ranks contiguous from 1, counts
+    non-increasing within a host."""
+    from spider_spark.operators.graph import g7_anchor_topk
+
+    rows = g7_anchor_topk(spark, SF).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        cnts = [r.cnt for r in rs]
+        assert cnts == sorted(cnts, reverse=True)
+
+
+def test_c5_growth_curve_is_monotone(spark):
+    """c5: cumulative distinct-URL count is strictly increasing and ends
+    at the total number of distinct URLs observed."""
+    from spider_spark.operators.crawlops import c5_url_growth
+
+    rows = sorted(c5_url_growth(spark, SF).collect(), key=lambda r: r.day)
+    assert rows
+    cum = 0
+    for r in rows:
+        assert r.new_urls >= 1
+        cum += r.new_urls
+        assert r.cum_urls == cum
