@@ -9,8 +9,10 @@ Provenance: the reference re-fetches a fixed ID universe every run
 /root/reference/suplicmap_tilemap.py:93-116 re-GETs every tile) — at
 10^10-URL scale a crawler must instead decide *when* each page is worth
 re-fetching (c1), budget per registered site rather than per hostname
-(c2), and order the frontier by authority rather than discovery order
-(c3). All four queries follow the repo's float discipline: every
+(c2), order the frontier by authority rather than discovery order (c3),
+watch what changed between snapshots (c4), watch discovery saturate
+(c5), cap trap hosts (c6), and prove politeness after the fact (c7).
+All queries follow the repo's float discipline: every
 comparison and output is integer-exact, so JVM and DuckDB hash-agree with
 no rounding margin to defend.
 
@@ -625,4 +627,191 @@ def c5_url_growth(spark, sf_dir):
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return per_day.select(
         "day", "new_urls", F.sum("new_urls").over(w).alias("cum_urls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c6 — crawl-trap detection (calendar pages, faceted search, session-id
+# URL spaces): hosts whose URL space keeps expanding with path depth, or
+# is dominated by query-string permutations
+# ---------------------------------------------------------------------------
+
+_C6_HOSTS = 40
+_C6_DEEP_DEPTH = 4  # depth >= this counts as "deep"
+_C6_DEEP_PPM = 500_000  # trap if >= 50% of a host's URLs are deep
+_C6_QUERY_PPM = 500_000  # or >= 50% carry query strings
+_C6_MIN_URLS = 20
+
+_C6_ORACLE = f"""
+WITH urls AS (
+  SELECT DISTINCT
+    ((hh % {_C6_HOSTS}) + {_C6_HOSTS}) % {_C6_HOSTS} AS host_id,
+    ((dh % 7) + 7) % 7 AS depth,
+    CASE WHEN ((qh % 4) + 4) % 4 = 0 THEN 1 ELSE 0 END AS has_query,
+    event_id AS url_id
+  FROM (SELECT event_id,
+               {hashlong_aliases("event_id * 11 + 2", "42", "hh", "c6a")},
+               {hashlong_aliases("event_id * 7 + 1", "42", "dh", "c6b")},
+               {hashlong_aliases("event_id * 13 + 5", "42", "qh", "c6c")}
+        FROM events)
+),
+per_host AS (
+  SELECT host_id,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN depth >= {_C6_DEEP_DEPTH} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_deep,
+         CAST(sum(has_query) AS BIGINT) AS n_query
+  FROM urls GROUP BY host_id
+),
+rated AS (
+  SELECT host_id, n_urls,
+         CAST((1000000 * n_deep) // n_urls AS BIGINT) AS deep_ppm,
+         CAST((1000000 * n_query) // n_urls AS BIGINT) AS query_ppm
+  FROM per_host WHERE n_urls >= {_C6_MIN_URLS}
+)
+SELECT host_id, n_urls, deep_ppm, query_ppm,
+       CASE WHEN deep_ppm >= {_C6_DEEP_PPM}
+              AND query_ppm >= {_C6_QUERY_PPM} THEN 'deep+query'
+            WHEN deep_ppm >= {_C6_DEEP_PPM} THEN 'deep'
+            ELSE 'query' END AS reason
+FROM rated
+WHERE deep_ppm >= {_C6_DEEP_PPM} OR query_ppm >= {_C6_QUERY_PPM}
+"""
+
+
+@query("c6_crawl_traps", _C6_ORACLE)
+def c6_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection: hosts whose discovered URL space is dominated
+    by deep paths (calendar pages, pagination chains) or query-string
+    permutations (faceted search, session ids) — the hosts a frontier
+    must budget-cap before they eat the crawl. URL observations are
+    derived deterministically from ``events`` (host/depth/has_query all
+    murmur3 of event_id, reproduced bit-exactly in DuckDB); thresholds
+    are exact integer ppm. Emits (host_id, n_urls, deep_ppm, query_ppm,
+    reason) for flagged hosts.
+
+    Scale shape (10^10 URLs): one distinct + one map-side-combinable
+    groupBy(host) — counts and conditional sums all partial-aggregate;
+    flagging is row-local arithmetic on the |hosts|-sized aggregate. No
+    window, no row-level join. (Heritrix's 'pathological path' and
+    max-query-string rules apply the same signals crawl-side; this is
+    the corpus-side audit.)"""
+    e = load(spark, sf_dir, "events")
+    urls = e.select(
+        F.pmod(F.hash(F.expr("event_id * 11 + 2")), F.lit(_C6_HOSTS)).alias(
+            "host_id"
+        ),
+        F.pmod(F.hash(F.expr("event_id * 7 + 1")), F.lit(7)).alias("depth"),
+        F.when(
+            F.pmod(F.hash(F.expr("event_id * 13 + 5")), F.lit(4)) == 0, 1
+        )
+        .otherwise(0)
+        .alias("has_query"),
+        F.col("event_id").alias("url_id"),
+    ).distinct()
+    per_host = urls.groupBy("host_id").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(
+            F.when(F.col("depth") >= _C6_DEEP_DEPTH, 1).otherwise(0)
+        ).alias("n_deep"),
+        F.sum("has_query").alias("n_query"),
+    )
+    rated = (
+        per_host.filter(F.col("n_urls") >= _C6_MIN_URLS)
+        .withColumn("deep_ppm", F.expr("(1000000 * n_deep) div n_urls"))
+        .withColumn("query_ppm", F.expr("(1000000 * n_query) div n_urls"))
+    )
+    deep = F.col("deep_ppm") >= _C6_DEEP_PPM
+    qry = F.col("query_ppm") >= _C6_QUERY_PPM
+    return (
+        rated.filter(deep | qry)
+        .withColumn(
+            "reason",
+            F.when(deep & qry, "deep+query")
+            .when(deep, "deep")
+            .otherwise("query"),
+        )
+        .select("host_id", "n_urls", "deep_ppm", "query_ppm", "reason")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c7 — politeness compliance audit: re-derive per-host inter-fetch gaps
+# from the fetch log and count crawl-delay violations
+# ---------------------------------------------------------------------------
+
+_C7_HOSTS = 50
+
+_C7_ORACLE = f"""
+WITH fetches AS (
+  SELECT ((hh % {_C7_HOSTS}) + {_C7_HOSTS}) % {_C7_HOSTS} AS host_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id
+  FROM (SELECT ts, event_id,
+               {hashlong_aliases("event_id * 3 + 11", "42", "hh", "c7")}
+        FROM events)
+),
+gaps AS (
+  SELECT host_id, ts_s,
+         ts_s - lag(ts_s) OVER (PARTITION BY host_id
+                                ORDER BY ts_s, event_id) AS gap_s
+  FROM fetches
+),
+audit AS (
+  SELECT host_id,
+         1 + host_id % 5 AS delay_s,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN gap_s IS NOT NULL
+                        AND gap_s < 1 + host_id % 5
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         min(gap_s) AS min_gap_s
+  FROM gaps GROUP BY host_id
+)
+SELECT host_id, CAST(delay_s AS BIGINT) AS delay_s, n_fetches,
+       n_violations, min_gap_s
+FROM audit
+"""
+
+
+@query("c7_politeness_audit", _C7_ORACLE)
+def c7_politeness_audit(spark, sf_dir):
+    """Politeness compliance audit — the lineage-side proof a crawl
+    respected per-host crawl-delay: re-derive every host's inter-fetch
+    gaps from the fetch log and count gaps shorter than the host's
+    crawl-delay (here delay = 1 + host_id % 5 seconds, a deterministic
+    stand-in for the robots.txt value the engine's politeness table
+    carries). Emits (host_id, delay_s, n_fetches, n_violations,
+    min_gap_s).
+
+    Scale shape: the lag window partitions by host over the fetch log —
+    bounded per partition BY THE POLITENESS INVARIANT ITSELF (a host
+    fetched once per delay_s accumulates at most 86400/delay_s rows per
+    day), so the one row-level window in this module rides on the very
+    property it audits; the rollup after it is map-side combinable."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    fetches = e.select(
+        F.pmod(F.hash(F.expr("event_id * 3 + 11")), F.lit(_C7_HOSTS)).alias(
+            "host_id"
+        ),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("host_id").orderBy("ts_s", "event_id")
+    gaps = fetches.withColumn(
+        "gap_s", F.col("ts_s") - F.lag("ts_s").over(w)
+    )
+    delay = 1 + F.col("host_id") % 5
+    return gaps.groupBy("host_id").agg(
+        F.first(delay).cast("long").alias("delay_s"),
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(
+            F.when(
+                F.col("gap_s").isNotNull() & (F.col("gap_s") < delay), 1
+            ).otherwise(0)
+        ).alias("n_violations"),
+        F.min("gap_s").alias("min_gap_s"),
     )

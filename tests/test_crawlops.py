@@ -313,3 +313,39 @@ def test_c5_growth_curve_is_monotone(spark):
         assert r.new_urls >= 1
         cum += r.new_urls
         assert r.cum_urls == cum
+
+
+def test_c6_traps_thresholds_hold(spark):
+    """c6: every flagged host satisfies the reason it is flagged for, and
+    the reason string is consistent with the ppm columns."""
+    from spider_spark.operators.crawlops import (
+        _C6_DEEP_PPM,
+        _C6_MIN_URLS,
+        _C6_QUERY_PPM,
+        c6_crawl_traps,
+    )
+
+    rows = c6_crawl_traps(spark, SF).collect()
+    for r in rows:
+        assert r.n_urls >= _C6_MIN_URLS
+        deep = r.deep_ppm >= _C6_DEEP_PPM
+        qry = r.query_ppm >= _C6_QUERY_PPM
+        assert deep or qry
+        expect = "deep+query" if (deep and qry) else ("deep" if deep else "query")
+        assert r.reason == expect
+
+
+def test_c7_audit_counts_are_consistent(spark):
+    """c7: violations never exceed fetches-1; min_gap below delay implies
+    at least one violation; delay follows the deterministic 1+host%5 rule."""
+    from spider_spark.operators.crawlops import c7_politeness_audit
+
+    rows = c7_politeness_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.delay_s == 1 + r.host_id % 5
+        assert 0 <= r.n_violations <= max(r.n_fetches - 1, 0)
+        if r.min_gap_s is not None and r.min_gap_s < r.delay_s:
+            assert r.n_violations >= 1
+        if r.n_violations == 0 and r.min_gap_s is not None:
+            assert r.min_gap_s >= r.delay_s
