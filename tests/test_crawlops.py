@@ -228,8 +228,9 @@ def test_new_operators_pass_oracle_under_local_cluster():
     processes, real serialization/shuffle/broadcast boundaries. Covers
     the round-4 shapes that most depend on distribution assumptions:
     the iterative broadcast PageRank reprioritizer (c3), the
-    mapInPandas-fed band join (d13), and the broadcast-grid drift
-    monitor (t28)."""
+    mapInPandas-fed band join (d13), the broadcast-grid drift
+    monitor (t28), and the d2→d7→d14 dedup chain terminal (left join +
+    max(struct) argmax across real executor boundaries)."""
     import subprocess
     import sys as _sys
 
@@ -239,7 +240,8 @@ def test_new_operators_pass_oracle_under_local_cluster():
             "-m",
             "spider_spark.verify",
             SF,
-            "c3_frontier_reprioritize,d13_phash_neardup,t28_source_drift",
+            "c3_frontier_reprioritize,d13_phash_neardup,t28_source_drift,"
+            "d14_cluster_keep_best",
             "--master",
             "local-cluster[2,2,2048]",
         ],
