@@ -1356,7 +1356,10 @@ def d14_cluster_keep_best(spark, sf_dir):
     count)`` — the argmax travels as one struct per cluster per map
     partition, so a 10^6-copy boilerplate cluster never funnels its rows
     through one window task (the oracle's row_number formulation is the
-    semantics, not the plan)."""
+    semantics, not the plan). Pair generation upstream follows d7's
+    split: d2's exact pairs here (the oracle-checkable form); at corpus
+    scale feed d3's banded LSH pairs instead — same (id_a, id_b) schema,
+    and everything from connected_components on is unchanged."""
     clusters = d7_neardup_clusters(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     everydoc = docs.join(clusters, "doc_id", "left").withColumn(
