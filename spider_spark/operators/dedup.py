@@ -1380,3 +1380,66 @@ def d14_cluster_keep_best(spark, sf_dir):
         "n_docs",
         (F.col("n_docs") - F.lit(1)).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t30 — leakage-safe train/heldout split: route whole near-dup clusters,
+# not individual documents, to one side (GPT-3's contamination post-mortem
+# and "Deduplicating Training Data Makes Language Models Better", Lee et
+# al., ACL 2022, both show per-doc splits leak via near-dups)
+# ---------------------------------------------------------------------------
+
+_T30_TRAIN_PCT = 90
+
+_T30_ORACLE = (
+    _D7_CTES
+    + f"""
+    , clus AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster
+      FROM reach GROUP BY u
+    ),
+    everydoc AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+    ),
+    hashed AS (
+      SELECT doc_id, cluster,
+             {sqlmurmur.hashlong_aliases("cluster", "42", "mh", "t30")}
+      FROM everydoc
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN ((mh % 100) + 100) % 100 < {_T30_TRAIN_PCT}
+                THEN 'train' ELSE 'heldout' END AS side
+    FROM hashed
+    """
+)
+
+
+@query("t30_leakage_safe_split", _T30_ORACLE)
+def t30_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/heldout split: hash the near-dup CLUSTER label
+    (d7 component, singletons = own doc_id), not the document — so two
+    near-duplicate documents can never straddle the split and leak eval
+    text into training. 90/10 by pmod(murmur3(cluster), 100), the same
+    stateless hash-split discipline as t10 (re-runs and late-arriving
+    docs of an existing cluster land on the same side with no stored
+    assignment table).
+
+    Scale shape: one equi-join of the corpus against the cluster map,
+    then row-local hash arithmetic — no shuffle beyond the join, no
+    window, no RNG state. Pair generation upstream follows d7's split
+    (d2 exact here, d3 banded LSH at corpus scale)."""
+    clusters = d7_neardup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    everydoc = docs.join(clusters, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("cluster", "doc_id")
+    )
+    return everydoc.select(
+        "doc_id",
+        "cluster",
+        F.when(
+            F.pmod(F.hash("cluster"), F.lit(100)) < _T30_TRAIN_PCT, "train"
+        )
+        .otherwise("heldout")
+        .alias("side"),
+    )

@@ -351,3 +351,27 @@ def test_c7_audit_counts_are_consistent(spark):
             assert r.n_violations >= 1
         if r.n_violations == 0 and r.min_gap_s is not None:
             assert r.min_gap_s >= r.delay_s
+
+
+def test_t30_split_never_separates_near_dups(spark):
+    """t30: every d2 near-dup pair lands on the same side; all members of
+    a cluster share one side; both sides are populated; split is stable
+    across re-runs (stateless hash)."""
+    from spider_spark.operators.dedup import (
+        d2_token_jaccard,
+        t30_leakage_safe_split,
+    )
+
+    rows = t30_leakage_safe_split(spark, SF).collect()
+    side = {r.doc_id: r.side for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.side)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {"train", "heldout"} == {r.side for r in rows}
+
+    for p in d2_token_jaccard(spark, SF).collect():
+        assert side[p.id_a] == side[p.id_b], "near-dup pair straddles split"
+
+    rows2 = t30_leakage_safe_split(spark, SF).collect()
+    assert {r.doc_id: r.side for r in rows2} == side
