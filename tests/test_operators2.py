@@ -389,6 +389,14 @@ _BNLJ_WHITELIST = {
     "t11_tfidf_topk": 1,       # 1-row corpus-size aggregate
     "t16_token_familiarity": 1,  # 1-row corpus-size aggregate
     "t20_bm25_rank": 1,        # 1-row corpus stats (N, total dl) broadcast
+    "a14_equiwidth_hist": 1,   # 1-row min/max extent aggregate broadcast
+    "w9_host_concentration": 1,  # 1-row corpus-total aggregate broadcast
+    "t28_source_drift": 2,     # 64-bucket global marginal + 1-row total
+    "sim_mmr_rerank": 79,      # unrolled greedy picks over the ≤12-row
+                               # relevance pool — every BNLJ side is
+                               # pool-sized by construction (documented in
+                               # sim_mmr_rerank's docstring), so the count
+                               # scales with _MMR_K, never the corpus
 }
 
 
