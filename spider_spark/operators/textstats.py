@@ -1191,32 +1191,33 @@ def t29_boilerplate(spark, sf_dir):
     frac_ppm) so a cleaning pass can anti-join it away. The fraction is
     exact integer ppm — no float threshold to defend across engines.
 
-    Scale shape (100 TB): the (source, para, doc_id) distinct and the
-    (source, para) count are both map-side combinable groupBys — a cookie
-    banner repeated on 10^7 pages of one host collapses per map partition
-    before the exchange; per-host page counts are a |hosts|-sized
+    Scale shape (100 TB): within-document chunk dedup is row-local
+    (``array_distinct`` before the explode — no corpus-wide distinct
+    shuffle), so the ONLY corpus exchange is the map-side-combinable
+    groupBy(source, para): a cookie banner repeated on 10^7 pages of one
+    host collapses per map partition before that shuffle. Per-host page
+    counts are a plain count (doc_id is unique per row), a |hosts|-sized
     aggregate joined back via broadcast. No window touches row-level
     data. (CCNet, Wenzek et al., LREC 2020 strips repeated paragraphs the
     same way at Common-Crawl scale.)"""
     d = load(spark, sf_dir, "documents")
-    ex = (
-        d.select(
-            "source",
-            "doc_id",
-            F.explode(
+    # array_distinct: a paragraph repeated WITHIN one doc still counts
+    # that doc once — and rows are (source, para, doc_id)-distinct with
+    # zero shuffle, since doc_id is row-unique
+    ex = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     "transform(sequence(0, cast(ceil(size(split(text,' '))"
                     f"/{_T29_CHUNK}.0) as int) - 1),"
                     f" i -> concat_ws(' ', slice(split(text,' '), i*{_T29_CHUNK}+1, {_T29_CHUNK})))"
                 )
-            ).alias("para"),
-        )
-        .groupBy("source", "para", "doc_id")
-        .agg(F.lit(1))  # distinct, map-side combinable
+            )
+        ).alias("para"),
     )
-    pages = d.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_pages")
-    )
+    pages = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_pages"))
     pp = ex.groupBy("source", "para").agg(F.count("*").alias("n_docs"))
     return (
         pp.join(F.broadcast(pages), "source")
