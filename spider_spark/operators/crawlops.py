@@ -815,3 +815,81 @@ def c7_politeness_audit(spark, sf_dir):
         ).alias("n_violations"),
         F.min("gap_s").alias("min_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c8 — per-host fetch-budget apportionment (largest-remainder method)
+# ---------------------------------------------------------------------------
+
+_C8_BUDGET = 1000  # fetch slots per crawl round
+
+_C8_ORACLE = f"""
+WITH pend AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS pending
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(pending) AS BIGINT) AS total FROM pend),
+q AS (
+  SELECT p.source, p.pending,
+         ({_C8_BUDGET} * p.pending) // t.total AS floor_q,
+         ({_C8_BUDGET} * p.pending) % t.total  AS rem
+  FROM pend p, t
+),
+l AS (SELECT {_C8_BUDGET} - CAST(sum(floor_q) AS BIGINT) AS leftover FROM q),
+r AS (
+  SELECT source, pending, floor_q,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM q
+)
+SELECT r.source, r.pending,
+       CAST(r.floor_q + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r, l
+"""
+
+
+@query("c8_fetch_budget", _C8_ORACLE)
+def c8_fetch_budget(spark, sf_dir):
+    """Per-host fetch-budget apportionment for one crawl round: split a
+    global budget of B fetch slots across hosts proportionally to their
+    pending-frontier size, using the largest-remainder (Hamilton) method
+    so quotas are integers that sum EXACTLY to B — the allocation step
+    between c3's frontier ordering and the engine's salted top-K-per-host
+    dequeue (each host's K becomes its quota). Pending counts are stood in
+    by documents-per-source, ≙ the frontier's per-host backlog.
+
+    Scale shape (100 TB): the corpus-sized work is ONE map-side-combinable
+    groupBy(host); everything after (total, floor quotas, remainder
+    ranking, leftover distribution) runs on the |hosts|-sized aggregate —
+    the global remainder-rank window orders thousands of hosts, never
+    row-level data. The two 1-row aggregates (grand total, leftover) come
+    back as broadcasts. Integer cross-multiplication throughout: no float
+    shares to defend across engines."""
+    d = load(spark, sf_dir, "documents")
+    pend = d.groupBy("source").agg(F.count(F.lit(1)).alias("pending"))
+    tot = pend.agg(F.sum("pending").alias("total"))
+    q = (
+        pend.crossJoin(F.broadcast(tot))
+        .withColumn("floor_q", F.expr(f"({_C8_BUDGET} * pending) div total"))
+        .withColumn("rem", F.expr(f"({_C8_BUDGET} * pending) % total"))
+    )
+    leftover = q.agg(
+        (F.lit(_C8_BUDGET) - F.sum("floor_q")).alias("leftover")
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    return (
+        q.withColumn("rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "pending",
+            (
+                F.col("floor_q")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

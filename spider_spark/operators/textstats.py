@@ -1228,3 +1228,192 @@ def t29_boilerplate(spark, sf_dir):
         .filter(F.col("frac_ppm") >= _T29_MIN_PPM)
         .select("source", "para", "n_docs", "n_pages", "frac_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# t31 — fastText-shaped hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+_T31_BUCKETS = 2001  # odd prime-ish bucket count; weights span [-1000, 1000]
+
+_T31_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hw AS (
+  SELECT doc_id, {sqlmurmur.murmur32_string_aliases("tok", "h32", "tq")}
+  FROM tk
+),
+ws AS (
+  SELECT doc_id,
+         CAST(sum(((h32 % {_T31_BUCKETS}) + {_T31_BUCKETS}) % {_T31_BUCKETS}
+                  - {(_T31_BUCKETS - 1) // 2}) AS BIGINT) AS score_sum
+  FROM hw GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ws.score_sum,
+       CAST(len(string_split(d.text, ' ')) AS INT) AS n_toks,
+       ws.score_sum > 0 AS keep
+FROM documents d JOIN ws ON ws.doc_id = d.doc_id
+"""
+
+
+@query("t31_quality_classifier", _T31_ORACLE)
+def t31_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, fastText-shaped (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification"; the GPT-3 /
+    CCNet-style learned quality gate that follows the t3/t17 heuristics):
+    every token is hashed into a fixed bucket space, each bucket carries a
+    linear weight, and a document's score is the sum of its token weights
+    — keep iff the score clears the decision threshold. Weights here are
+    derived deterministically from the bucket hash itself (integer in
+    [-1000, 1000]) so both engines share the "model" without a learned
+    artifact; a real model swaps in trained weights via the identical
+    lookup, either inlined (small vocab) or as a broadcast map.
+
+    Scale shape (100 TB): ZERO shuffle — hashing, weight lookup, and the
+    per-document sum are all higher-order array functions over the token
+    array (`transform` + `aggregate`), whole-stage codegen, no explode, no
+    groupBy. The classic explode → join(weights) → groupBy(doc_id)
+    formulation would shuffle every token of the corpus; hash-derived (or
+    broadcast) weights make scoring a row-local map, which is why fastText
+    inference parallelizes embarrassingly. Integer weights keep the score
+    bit-exact across engines (no float-sum order sensitivity)."""
+    half = (_T31_BUCKETS - 1) // 2
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    weights = F.transform(
+        toks, lambda t: F.pmod(F.hash(t), F.lit(_T31_BUCKETS)) - F.lit(half)
+    )
+    score = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        score.alias("score_sum"),
+        F.size(toks).alias("n_toks"),
+        (score > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t32 — deterministic per-host document cap (salted two-stage top-K)
+# ---------------------------------------------------------------------------
+
+_T32_K = 10  # docs kept per host
+_T32_SALTS = 32
+
+_T32_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {sqlmurmur.murmur32_string_aliases("CAST(doc_id AS VARCHAR)", "hk", "tc")}
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source, CAST(rn AS INT) AS host_rank
+FROM r WHERE rn <= {_T32_K}
+"""
+
+
+@query("t32_host_cap", _T32_ORACLE)
+def t32_host_cap(spark, sf_dir):
+    """Per-host document cap: keep at most K documents per host (source),
+    chosen by hash rank — the deterministic "downsample hot hosts" step a
+    Common-Crawl-scale corpus applies so one mega-host cannot dominate the
+    training mix (C4 and Gopher both cap per-domain contributions; hash
+    order makes the sample stable across re-runs and incremental crawls,
+    unlike an RNG sample).
+
+    Scale shape (100 TB): a naive `row_number() OVER (PARTITION BY host)`
+    serializes a 10^7-page host through ONE task. This runs the engine's
+    salted two-stage dequeue discipline instead (engine/crawler.py): stage
+    1 ranks within (host, salt-of-32) — any single task sees at most
+    ~|host|/32 rows — and keeps K per bucket; stage 2 ranks the ≤ 32·K
+    survivors per host exactly. The oracle is the single-window
+    formulation, identical by construction (stage 1 discards only rows
+    that cannot be in the true top-K of their host)."""
+    d = load(spark, sf_dir, "documents")
+    hk = F.hash(F.col("doc_id").cast("string"))
+    base = d.select("doc_id", "source", hk.alias("hk")).withColumn(
+        "_salt", F.pmod("hk", F.lit(_T32_SALTS))
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy("hk", "doc_id")
+    pre = base.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= _T32_K
+    )
+    w2 = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        pre.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= _T32_K)
+        .select("doc_id", "source", "host_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t33 — mojibake (double-encoded UTF-8) detection
+# ---------------------------------------------------------------------------
+
+# UTF-8 bytes of é / ’ re-decoded as Latin-1/cp1252 — the two highest-
+# frequency mojibake signatures in web text (the class of damage ftfy
+# repairs; detection only here — repair is a charset round-trip).
+_T33_PATTERN = "Ã©|â€™"
+
+_T33_ORACLE = f"""
+WITH mixed AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ' || repeat('caf' || 'Ã©' || ' ',
+                                    CAST((doc_id // 3) % 4 AS INT))
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' donâ€™t' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_T33_PATTERN}')) AS BIGINT) AS n_moji,
+       len(regexp_extract_all(t, '{_T33_PATTERN}')) > 0 AS is_mojibake
+FROM mixed
+"""
+
+
+@query("t33_mojibake", _T33_ORACLE)
+def t33_mojibake(spark, sf_dir):
+    """Mojibake detection for a web corpus: count occurrences of
+    double-encoded UTF-8 signatures ('Ã©' = é through a Latin-1 round
+    trip, 'â€™' = ’) and flag affected documents — the detection half of
+    an ftfy-style encoding-repair pass (Speer, 2019; zenodo ftfy), run
+    before quality scoring so garbled pages don't pollute n-gram stats.
+    The synthetic corpus is clean ASCII, so deterministic damage is first
+    injected from doc_id (variable marker counts, including planted
+    zero-marker cases via repeat-count 0) — identically in both engines —
+    and detection runs over the mixed text.
+
+    Scale shape (100 TB): pure `regexp_count` column expressions in
+    whole-stage codegen — a filter-free per-row map over the scan, zero
+    shuffle, zero UDF. The alternation deliberately avoids
+    prefix-ambiguous alternatives ('â€' vs 'â€œ') so leftmost-match
+    semantics agree across regex engines."""
+    d = load(spark, sf_dir, "documents")
+    mixed = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" "),
+                F.expr(
+                    "repeat('cafÃ© ', cast((doc_id div 3) % 4 as int))"
+                ),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" donâ€™t")).otherwise(
+            F.lit("")
+        ),
+    )
+    n = F.regexp_count(mixed, F.lit(_T33_PATTERN)).cast("long")
+    return d.select(
+        "doc_id", n.alias("n_moji"), (n > 0).alias("is_mojibake")
+    )

@@ -375,3 +375,19 @@ def test_t30_split_never_separates_near_dups(spark):
 
     rows2 = t30_leakage_safe_split(spark, SF).collect()
     assert {r.doc_id: r.side for r in rows2} == side
+
+
+def test_c8_budget_sums_exactly_and_respects_floors(spark):
+    """Largest-remainder apportionment: quotas are integers summing to
+    EXACTLY the round budget, every host gets at least its floor share,
+    and at most floor+1 — the invariant that lets each host's quota feed
+    the salted dequeue as its per-round K."""
+    from spider_spark.operators.crawlops import _C8_BUDGET, c8_fetch_budget
+
+    rows = c8_fetch_budget(spark, SF).collect()
+    assert rows
+    total_pending = sum(r.pending for r in rows)
+    assert sum(r.quota for r in rows) == _C8_BUDGET
+    for r in rows:
+        floor_q = (_C8_BUDGET * r.pending) // total_pending
+        assert r.quota in (floor_q, floor_q + 1), r

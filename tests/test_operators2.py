@@ -390,6 +390,8 @@ _BNLJ_WHITELIST = {
     "t16_token_familiarity": 1,  # 1-row corpus-size aggregate
     "t20_bm25_rank": 1,        # 1-row corpus stats (N, total dl) broadcast
     "a14_equiwidth_hist": 1,   # 1-row min/max extent aggregate broadcast
+    "c8_fetch_budget": 3,      # 1-row total + leftover aggregates (total's
+                               # BNLJ appears in both reuse branches)
     "w9_host_concentration": 1,  # 1-row corpus-total aggregate broadcast
     "t28_source_drift": 2,     # 64-bucket global marginal + 1-row total
     "sim_mmr_rerank": 79,      # unrolled greedy picks over the ≤12-row
@@ -595,3 +597,64 @@ def test_small_quantity_matches_correlated_subquery(spark, sf_dir):
         for r in QUERIES["q8_small_quantity"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_t31_classifier_is_shuffle_free_and_consistent(spark, sf_dir):
+    """t31's whole point is zero-exchange scoring: the plan must contain
+    no Exchange at all (higher-order functions, no explode/groupBy), and
+    keep must equal score_sum > 0 with |score_sum| <= 1000 * n_toks."""
+    q = QUERIES["t31_quality_classifier"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "classifier scoring must not shuffle"
+    rows = q.collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (r.score_sum > 0)
+        assert abs(r.score_sum) <= 1000 * r.n_toks
+
+
+def test_t32_host_cap_bounds_and_ranks(spark, sf_dir):
+    """Every host keeps at most K docs, host_rank is dense 1..n within
+    each host, and the kept set is exactly the K hash-smallest docs of
+    that host (checked against a direct single-window computation)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from spider_spark.operators import load
+    from spider_spark.operators.textstats import _T32_K
+
+    got = QUERIES["t32_host_cap"](spark, sf_dir).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.source, []).append(r.host_rank)
+    for host, ranks in by_host.items():
+        assert len(ranks) <= _T32_K, host
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), host
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.hash(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ref = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _T32_K)
+        .select("doc_id", "source")
+        .collect()
+    )
+    assert {(r.doc_id, r.source) for r in got} == {
+        (r.doc_id, r.source) for r in ref
+    }
+
+
+def test_t33_mojibake_detects_exactly_the_planted_damage(spark, sf_dir):
+    """Clean docs (neither injection arm fires) must read n_moji == 0;
+    the %7 arm always plants one marker; the %3 arm plants (doc_id//3)%4
+    'Ã©' markers — including the planted ZERO case, which must not flag."""
+    rows = QUERIES["t33_mojibake"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = (r.doc_id % 3 == 0) * ((r.doc_id // 3) % 4) + (
+            r.doc_id % 7 == 0
+        )
+        assert r.n_moji == expect, r
+        assert r.is_mojibake == (expect > 0), r
