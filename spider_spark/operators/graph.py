@@ -628,3 +628,126 @@ def g7_anchor_topk(spark, sf_dir):
         .join(F.broadcast(hosts), F.col("dst") == F.col("host_id"))
         .select(F.col("source").alias("host"), "anchor", "cnt", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# g8 — TrustRank (biased-teleport PageRank for link-spam demotion)
+# ---------------------------------------------------------------------------
+
+_G8_SEED_MOD = 5  # every 5th host id is a trusted seed (stand-in whitelist)
+
+
+def _g8_oracle() -> str:
+    iters = []
+    for k in range(_ITERS):
+        iters.append(f"""
+  t{k + 1} AS (
+    SELECT hs.host_id,
+           (CASE WHEN hs.host_id % {_G8_SEED_MOD} = 0
+                 THEN ({_DAMP_DEN - _DAMP_NUM} * {_SCALE})
+                      // ({_DAMP_DEN} * sn.s)
+                 ELSE 0 END
+            + ({_DAMP_NUM} * COALESCE(i.inc, 0)) // {_DAMP_DEN})::BIGINT
+             AS trust
+    FROM hosts hs CROSS JOIN sn
+    LEFT JOIN (
+      SELECT e.dst AS host_id, SUM(t.trust // e.deg) AS inc
+      FROM edges e JOIN t{k} t ON t.host_id = e.src
+      GROUP BY e.dst
+    ) i ON i.host_id = hs.host_id
+  )""")
+    return f"""
+WITH {_GRAPH_CTES},
+edges AS (
+  SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg FROM edges0
+),
+sn AS (SELECT COUNT(*) AS s FROM hosts WHERE host_id % {_G8_SEED_MOD} = 0),
+t0 AS (
+  SELECT host_id,
+         (CASE WHEN host_id % {_G8_SEED_MOD} = 0 THEN {_SCALE} // sn.s
+               ELSE 0 END)::BIGINT AS trust
+  FROM hosts CROSS JOIN sn
+),{",".join(iters)}
+SELECT hs.source, t.trust,
+       hs.host_id % {_G8_SEED_MOD} = 0 AS is_seed,
+       DENSE_RANK() OVER (ORDER BY t.trust DESC) AS rk
+FROM t{_ITERS} t JOIN hosts hs ON hs.host_id = t.host_id
+"""
+
+
+@query("g8_trustrank", _g8_oracle())
+def g8_trustrank(spark, sf_dir: str):
+    """TrustRank over the derived host graph (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004): PageRank with the teleport vector restricted to
+    a trusted seed whitelist, so trust attenuates with link distance from
+    vetted hosts and link-spam clusters — unreachable from seeds except
+    through spam links — rank near zero. The crawl frontier demotes (or
+    budget-caps via c8) hosts whose TrustRank falls far below their g1
+    PageRank. Seeds here are every {_G8_SEED_MOD}th host id, a
+    deterministic stand-in for a curated whitelist.
+
+    Same fixed-point bigint discipline as g1 (SCALE 10^12, floor division,
+    {_ITERS} iterations, damping 85/100): order-invariant integer sums →
+    bit-identical Spark ⇄ DuckDB. Scale shape is g1's: per iteration ONE
+    broadcast join of the |hosts|-sized trust table onto edges + one
+    map-side-combinable SUM keyed on dst; the only new term (the seed
+    indicator) is row-local arithmetic on host_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hosts, n_hosts, edges = _derived_graph(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = edges.join(F.broadcast(deg), "src")
+
+    n_seeds = (n_hosts + _G8_SEED_MOD - 1) // _G8_SEED_MOD
+    seed = F.col("host_id") % _G8_SEED_MOD == 0
+    base = (
+        F.when(
+            seed,
+            F.lit(
+                ((_DAMP_DEN - _DAMP_NUM) * _SCALE) // (_DAMP_DEN * n_seeds)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    trust = hosts.select(
+        "host_id",
+        F.when(seed, F.lit(_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust"),
+    )
+    for _ in range(_ITERS):
+        incoming = (
+            edges.join(F.broadcast(trust), edges["src"] == trust["host_id"])
+            .select(
+                edges["dst"].alias("host_id"),
+                F.expr("trust div deg").alias("c"),
+            )
+            .groupBy("host_id")
+            .agg(F.sum("c").alias("inc"))
+        )
+        trust = (
+            hosts.select("host_id")
+            .join(incoming, "host_id", "left")
+            .select(
+                "host_id",
+                (
+                    base
+                    + F.expr(
+                        f"({_DAMP_NUM} * coalesce(inc, 0L)) div {_DAMP_DEN}"
+                    )
+                ).alias("trust"),
+            )
+        )
+
+    return (
+        trust.join(F.broadcast(hosts), "host_id")
+        .select(
+            "source",
+            "trust",
+            seed.alias("is_seed"),
+            F.dense_rank().over(Window.orderBy(F.desc("trust"))).alias("rk"),
+        )
+    )

@@ -658,3 +658,29 @@ def test_t33_mojibake_detects_exactly_the_planted_damage(spark, sf_dir):
         )
         assert r.n_moji == expect, r
         assert r.is_mojibake == (expect > 0), r
+
+
+def test_g8_trustrank_attenuates_from_seeds(spark, sf_dir):
+    """TrustRank invariants: exactly the every-5th hosts are seeds; every
+    seed holds at least the undamped teleport floor; total trust never
+    exceeds the injected mass (floor division only loses); and trust is
+    not uniform (the graph is irregular, so distance-to-seed matters)."""
+    from spider_spark.operators.graph import (
+        _DAMP_DEN,
+        _DAMP_NUM,
+        _G8_SEED_MOD,
+        _SCALE,
+    )
+
+    rows = QUERIES["g8_trustrank"](spark, sf_dir).collect()
+    assert rows
+    n_hosts = len(rows)
+    n_seeds = (n_hosts + _G8_SEED_MOD - 1) // _G8_SEED_MOD
+    assert sum(r.is_seed for r in rows) == n_seeds
+    floor_base = ((_DAMP_DEN - _DAMP_NUM) * _SCALE) // (_DAMP_DEN * n_seeds)
+    for r in rows:
+        assert r.trust >= 0
+        if r.is_seed:
+            assert r.trust >= floor_base, r
+    assert sum(r.trust for r in rows) <= _SCALE
+    assert len({r.trust for r in rows}) > 1
