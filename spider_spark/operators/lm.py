@@ -25,8 +25,8 @@ from spider_spark.operators import load, query, sqlmurmur
 
 _T21_SCALE = 1_000_000
 
-_T21_ORACLE = f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# bigram-model CTE chain shared by t21 and the t34 bucketing built on it
+_T21_CTES = f"""tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 bg AS (SELECT doc_id,
               unnest([toks[i] || ' ' || toks[i+1]
                       for i in range(1, len(toks))]) AS bigram
@@ -36,7 +36,10 @@ c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
               CAST(sum(n2) AS BIGINT) AS n1
        FROM c2 GROUP BY 1),
 p AS (SELECT bigram, (n2 * {_T21_SCALE}) // n1 AS pfp
-      FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1)
+      FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1)"""
+
+_T21_ORACLE = f"""
+WITH {_T21_CTES}
 SELECT doc_id,
        CAST(count(*) AS BIGINT)             AS n_bigrams,
        CAST(sum(pfp) // count(*) AS BIGINT) AS fluency_ppm
@@ -95,6 +98,97 @@ def t21_bigram_fluency(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
             F.expr("sum(pfp) div count(1)").cast("long").alias("fluency_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t34 — CCNet-style head/middle/tail fluency bucketing (per language)
+# ---------------------------------------------------------------------------
+
+_T34_ORACLE = f"""
+WITH {_T21_CTES},
+sc AS (
+  SELECT d.doc_id, d.lang,
+         CAST(sum(pfp) // count(*) AS BIGINT) AS fluency_ppm
+  FROM bg JOIN p USING (bigram) JOIN documents d ON d.doc_id = bg.doc_id
+  GROUP BY d.doc_id, d.lang
+),
+m AS (
+  SELECT lang, CAST(sum(fluency_ppm) // count(*) AS BIGINT) AS mean_ppm
+  FROM sc GROUP BY lang
+),
+md AS (
+  SELECT s.lang,
+         CAST(sum(abs(s.fluency_ppm - m.mean_ppm)) // count(*) AS BIGINT)
+           AS mad_ppm
+  FROM sc s JOIN m USING (lang) GROUP BY s.lang
+)
+SELECT s.doc_id, s.lang, s.fluency_ppm,
+       CASE WHEN s.fluency_ppm > m.mean_ppm + md.mad_ppm // 2 THEN 'head'
+            WHEN s.fluency_ppm < m.mean_ppm - md.mad_ppm // 2 THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM sc s JOIN m USING (lang) JOIN md USING (lang)
+"""
+
+
+@query("t34_fluency_buckets", _T34_ORACLE)
+def t34_fluency_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020) over the
+    t21 bigram-LM fluency score: per language, documents whose fluency
+    clears the language mean by half a mean-absolute-deviation are 'head'
+    (kept for LM training), symmetric laggards are 'tail' (dropped or
+    down-weighted), the rest 'middle'. Mean + MAD stand in for CCNet's
+    held-out perplexity terciles: both cutoffs adapt to each language's
+    own score distribution, and both are exact integer aggregates — no
+    order-statistic sketch, no float percentile to defend cross-engine.
+
+    Scale shape (100 TB): t21's documented shape for scoring, then TWO
+    map-side-combinable groupBy(lang) passes (sum/count, then
+    sum-of-absolute-deviations with the |langs|-sized mean table
+    broadcast back) and a final broadcast of both per-lang cutoff tables
+    onto the score stream — no window, no corpus shuffle beyond t21's
+    per-doc aggregation. The w6 sketch path is the alternative when true
+    percentile cutoffs are required."""
+    sc = (
+        t21_bigram_fluency(spark, sf_dir)
+        .join(
+            load(spark, sf_dir, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+        .select("doc_id", "lang", "fluency_ppm")
+    )
+    m = sc.groupBy("lang").agg(
+        F.expr("sum(fluency_ppm) div count(1)").cast("long").alias("mean_ppm")
+    )
+    md = (
+        sc.join(F.broadcast(m), "lang")
+        .groupBy("lang")
+        .agg(
+            F.expr("sum(abs(fluency_ppm - mean_ppm)) div count(1)")
+            .cast("long")
+            .alias("mad_ppm")
+        )
+    )
+    return (
+        sc.join(F.broadcast(m), "lang")
+        .join(F.broadcast(md), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "fluency_ppm",
+            F.when(
+                F.col("fluency_ppm")
+                > F.col("mean_ppm") + F.expr("mad_ppm div 2"),
+                F.lit("head"),
+            )
+            .when(
+                F.col("fluency_ppm")
+                < F.col("mean_ppm") - F.expr("mad_ppm div 2"),
+                F.lit("tail"),
+            )
+            .otherwise(F.lit("middle"))
+            .alias("bucket"),
         )
     )
 

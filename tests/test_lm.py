@@ -97,3 +97,29 @@ def test_bpe_merges_match_python_recompute(spark, sf_dir):
         key=lambda r: r["rk"],
     )
     assert [(r["pair"], r["cnt"]) for r in got] == want
+
+
+def test_fluency_buckets_respect_per_lang_cutoffs(spark, sf_dir):
+    """t34: every t21-scored doc lands in exactly one bucket, and each
+    bucket verdict is reproducible from the per-language mean/MAD
+    recomputed directly from the t34 rows themselves."""
+    rows = QUERIES["t34_fluency_buckets"](spark, sf_dir).collect()
+    scored = QUERIES["t21_bigram_fluency"](spark, sf_dir).count()
+    assert len(rows) == scored
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        mean = sum(x.fluency_ppm for x in rs) // n
+        mad = sum(abs(x.fluency_ppm - mean) for x in rs) // n
+        hi, lo = mean + mad // 2, mean - mad // 2
+        for x in rs:
+            want = (
+                "head"
+                if x.fluency_ppm > hi
+                else "tail" if x.fluency_ppm < lo else "middle"
+            )
+            assert x.bucket == want, (lang, x)
+        if n >= 10:
+            assert {x.bucket for x in rs} == {"head", "middle", "tail"}, lang
