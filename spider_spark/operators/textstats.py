@@ -1417,3 +1417,103 @@ def t33_mojibake(spark, sf_dir):
     return d.select(
         "doc_id", n.alias("n_moji"), (n > 0).alias("is_mojibake")
     )
+
+
+# ---------------------------------------------------------------------------
+# a15 — count-min-sketch heavy hitters (bounded-state frequency estimation)
+# ---------------------------------------------------------------------------
+
+_A15_W = 256  # buckets per hash row
+_A15_D = 4    # independent hash rows
+_A15_TOPK = 20
+
+
+def _a15_oracle() -> str:
+    rows = []
+    for j in range(_A15_D):
+        rows.append(f"""
+  SELECT {j} AS j,
+         ((h{j} % {_A15_W}) + {_A15_W}) % {_A15_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT {sqlmurmur.murmur32_string_aliases(f"tok || '#{j}'", f"h{j}", f"cs{j}")}
+        FROM tk)
+  GROUP BY 1, 2""")
+    cand = []
+    for j in range(_A15_D):
+        cand.append(f"""
+  SELECT tok, exact_cnt, {j} AS j,
+         ((h{j} % {_A15_W}) + {_A15_W}) % {_A15_W} AS bucket
+  FROM (SELECT tok, exact_cnt,
+               {sqlmurmur.murmur32_string_aliases(f"tok || '#{j}'", f"h{j}", f"cc{j}")}
+        FROM top)""")
+    return f"""
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM tk GROUP BY tok),
+top AS (SELECT tok, exact_cnt FROM ex
+        ORDER BY exact_cnt DESC, tok LIMIT {_A15_TOPK}),
+cells AS ({" UNION ALL ".join(rows)}),
+cb AS ({" UNION ALL ".join(cand)})
+SELECT cb.tok AS token, cb.exact_cnt,
+       CAST(min(cells.cnt) AS BIGINT) AS cms_est
+FROM cb JOIN cells ON cells.j = cb.j AND cells.bucket = cb.bucket
+GROUP BY 1, 2
+"""
+
+
+@query("a15_cms_heavy_hitters", _a15_oracle())
+def a15_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimation (Cormode & Muthukrishnan,
+    J. Algorithms 2005) for the corpus token stream, validated against the
+    exact top-K heavy hitters: build a D×W integer sketch (murmur-bucketed
+    counts, min-over-rows estimate) and emit, for each exact top-20 token,
+    its true count next to the CMS estimate. The CMS one-sided guarantee
+    (estimate ≥ truth, overshoot ≤ εN w.h.p.) is what lets a 100 TB
+    pipeline answer "is this token/URL/host hot?" from {_A15_D}×{_A15_W}
+    integers of state instead of a vocabulary-sized table — the
+    streaming/approx counterpart of t11's exact df counts, same family as
+    a7's HyperLogLog distinct.
+
+    Scale shape: the sketch build is one map-side-combinable groupBy over
+    (row, bucket) with AT MOST {_A15_D}·{_A15_W} = {_A15_D * _A15_W}
+    result cells — partials collapse to sketch size per map task, so the
+    shuffle is O(cells), not O(vocab). The exact top-K (the validation
+    side only) is a TakeOrderedAndProject over the token aggregate;
+    estimates join the {_A15_TOPK}-row candidate set against the
+    broadcast cell table."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    F.hash(F.concat(F.col("tok"), F.lit(f"#{j}"))),
+                    F.lit(_A15_W),
+                ).alias("bucket"),
+            )
+            for j in range(_A15_D)
+        ]
+    )
+    cells = (
+        tk.select(F.explode(lanes).alias("s"))
+        .select("s.j", "s.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+        .limit(_A15_TOPK)
+    )
+    cand = top.select("tok", "exact_cnt", F.explode(lanes).alias("s")).select(
+        "tok", "exact_cnt", "s.j", "s.bucket"
+    )
+    return (
+        cand.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("tok").alias("token"), "exact_cnt", "cms_est"
+        )
+    )

@@ -684,3 +684,17 @@ def test_g8_trustrank_attenuates_from_seeds(spark, sf_dir):
             assert r.trust >= floor_base, r
     assert sum(r.trust for r in rows) <= _SCALE
     assert len({r.trust for r in rows}) > 1
+
+
+def test_a15_cms_estimate_dominates_truth(spark, sf_dir):
+    """The CMS hard guarantee: every estimate >= the exact count (min of
+    upper bounds), exactly TOPK rows come back, and the sketch stays
+    useful — overshoot on the fixture is far below the trivial N bound."""
+    from spider_spark.operators.textstats import _A15_TOPK
+
+    rows = QUERIES["a15_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == _A15_TOPK
+    total = sum(r.exact_cnt for r in rows)  # lower bound on stream size N
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt, r
+        assert r.cms_est - r.exact_cnt < total, r
