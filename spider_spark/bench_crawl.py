@@ -413,16 +413,25 @@ def run_executor_pair(repo_dir: str) -> dict:
     quiet-host gate, ABBA order, symmetric best-of-2, the SAME adaptive
     resample loop (while measured efficiency < 0.85, wait for a quiet
     window and add one symmetric sample per level, up to two extra
-    rounds), and pre/post/resample ceiling probes recorded — the best
-    ceiling any probe saw brackets the timed runs, and a >1 capture ratio
-    is capped+flagged by ceiling_context() instead of reported bare. Run
+    rounds), and pre/mid/post/resample ceiling probes recorded — the mid
+    probe sits between the two ABBA halves so the ceiling denominator
+    samples the same windows as the timed runs; the best ceiling any probe
+    saw brackets them, and a >1 capture ratio is capped+flagged by
+    ceiling_context() instead of reported bare. Run
     via `python -m spider_spark.bench_crawl execpair`
     → BENCH/scaling_exec_1_4.json."""
     world = ensure_world(os.path.join(repo_dir, ".bench_cache", "world_v2"))
     work = os.path.join(repo_dir, ".bench_cache", "work_exec")
     preflight = wait_for_quiet_host(2, 8)
     samples: dict[str, list[dict]] = {"x1": [], "x4": []}
-    for lv in ("x1", "x4", "x4", "x1"):
+    for lv in ("x1", "x4"):
+        samples[lv].append(_run_level_subprocess(lv, world, work))
+    # bracket the two ABBA halves with a probe so the ceiling denominator
+    # samples the same window as the timed runs (a preflight/post-only
+    # probe set can read a throttled window the runs never saw, pushing
+    # the capture ratio over 1.0 — the r3 artifact's flaw)
+    mid_ceiling = machine_ceiling(2, 8)
+    for lv in ("x4", "x1"):
         samples[lv].append(_run_level_subprocess(lv, world, work))
 
     def _eff() -> float:
@@ -449,8 +458,12 @@ def run_executor_pair(repo_dir: str) -> dict:
         "world_spec": WORLD_SPEC,
         **levels,
         "scaling_efficiency_1_to_4_executors": _eff(),
-        **ceiling_context(_eff(), [preflight, post_ceiling] + resample_probes),
+        **ceiling_context(
+            _eff(),
+            [preflight, mid_ceiling, post_ceiling] + resample_probes,
+        ),
         "machine_ceiling_preflight": preflight,
+        "machine_ceiling_mid": mid_ceiling,
         "machine_ceiling_resample": resample_probes,
         "machine_ceiling_2_to_8": post_ceiling,
     }
