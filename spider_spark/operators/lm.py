@@ -150,6 +150,10 @@ def t34_fluency_buckets(spark, sf_dir):
     onto the score stream — no window, no corpus shuffle beyond t21's
     per-doc aggregation. The w6 sketch path is the alternative when true
     percentile cutoffs are required."""
+    # persist: the score stream feeds the mean pass, the MAD pass, and the
+    # final bucketing — without it each reference re-runs the whole t21
+    # model build (16 scans in the unreused plan). The cached relation is
+    # one (doc_id, lang, int) row per document.
     sc = (
         t21_bigram_fluency(spark, sf_dir)
         .join(
@@ -157,6 +161,7 @@ def t34_fluency_buckets(spark, sf_dir):
             "doc_id",
         )
         .select("doc_id", "lang", "fluency_ppm")
+        .persist()
     )
     m = sc.groupBy("lang").agg(
         F.expr("sum(fluency_ppm) div count(1)").cast("long").alias("mean_ppm")
