@@ -751,3 +751,71 @@ def g8_trustrank(spark, sf_dir: str):
             F.dense_rank().over(Window.orderBy(F.desc("trust"))).alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g9 — reciprocal (mutual) host links: link-farm signal
+# ---------------------------------------------------------------------------
+
+_G9_ORACLE = f"""
+WITH {_GRAPH_CTES},
+pairs AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         CAST(sum(CASE WHEN src < dst THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd,
+         CAST(sum(CASE WHEN src > dst THEN 1 ELSE 0 END) AS BIGINT) AS n_rev
+  FROM edges0 WHERE src <> dst
+  GROUP BY 1, 2
+)
+SELECT ha.source AS host_a, hb.source AS host_b, p.n_fwd, p.n_rev
+FROM pairs p
+JOIN hosts ha ON ha.host_id = p.a
+JOIN hosts hb ON hb.host_id = p.b
+WHERE p.n_fwd >= 1 AND p.n_rev >= 1
+"""
+
+
+@query("g9_reciprocal_links", _G9_ORACLE)
+def g9_reciprocal_links(spark, sf_dir: str):
+    """Reciprocal host links over the derived graph: unordered host pairs
+    that link each other in BOTH directions, with per-direction edge
+    counts — the mutual-link signature link farms and reciprocal-exchange
+    schemes leave in a web graph (the symmetric counterpart of g8's
+    trust attenuation; pairs with high mutual counts and low TrustRank
+    are the classic demotion candidates).
+
+    Scale shape (10^10 edges): NO self-join — each directed edge maps
+    row-locally to its canonical unordered pair carrying a direction
+    flag, and ONE map-side-combinable groupBy(pair) sums both directions
+    at once (a hot pair collapses in partials). The name resolution joins
+    the |hosts|-sized table twice, both broadcast. An edges⨝edges
+    formulation would shuffle the edge table twice and explode on hot
+    pairs; this shape touches each edge exactly once."""
+    from pyspark.sql import functions as F
+
+    hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
+    pairs = (
+        edges0.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.when(F.col("src") < F.col("dst"), 1).otherwise(0).alias("fwd"),
+            F.when(F.col("src") > F.col("dst"), 1).otherwise(0).alias("rev"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum("fwd").alias("n_fwd"),
+            F.sum("rev").alias("n_rev"),
+        )
+        .filter((F.col("n_fwd") >= 1) & (F.col("n_rev") >= 1))
+    )
+    ha = hosts.select(
+        F.col("host_id").alias("a"), F.col("source").alias("host_a")
+    )
+    hb = hosts.select(
+        F.col("host_id").alias("b"), F.col("source").alias("host_b")
+    )
+    return (
+        pairs.join(F.broadcast(ha), "a")
+        .join(F.broadcast(hb), "b")
+        .select("host_a", "host_b", "n_fwd", "n_rev")
+    )

@@ -463,3 +463,83 @@ def e4_anomaly_days(spark, sf_dir):
             (dev * dev > 4 * var_n2).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e5 — bot / scraper detection by sustained request rate
+# ---------------------------------------------------------------------------
+
+_E5_BURST = 25   # planted bots fire this many requests per event
+_E5_BOT_MOD = 7   # 1-in-7 users is a planted bot (chosen so every
+                  # test SF, including sf0.001's 15 users, contains some)
+_E5_THRESH = 10   # requests/hour that flags a user
+
+
+def _e5_oracle() -> str:
+    from spider_spark.operators.sqlmurmur import hashlong_aliases
+
+    return f"""
+WITH req AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         {hashlong_aliases("user_id * 7 + 3", "42", "uh", "e5")}
+  FROM events
+),
+hourly AS (
+  SELECT user_id, hr,
+         CAST(sum(CASE WHEN ((uh % {_E5_BOT_MOD}) + {_E5_BOT_MOD})
+                              % {_E5_BOT_MOD} = 0
+                       THEN {_E5_BURST} ELSE 1 END) AS BIGINT) AS n_req
+  FROM req GROUP BY user_id, hr
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)  AS n_hours,
+       CAST(sum(n_req) AS BIGINT) AS total_req,
+       CAST(max(n_req) AS BIGINT) AS max_hourly,
+       max(n_req) >= {_E5_THRESH} AS is_bot
+FROM hourly GROUP BY user_id
+"""
+
+
+@query("e5_bot_rate", _e5_oracle())
+def e5_bot_rate(spark, sf_dir):
+    """Bot/scraper detection from the request log — the server-side twin
+    of the crawler's own politeness discipline (c7 audits OUR gaps; this
+    finds clients that would fail that audit): per-user peak hourly
+    request rate against a threshold. The events fixture averages ~1
+    event/user/hour, so bot behavior is planted deterministically: one
+    user in {_E5_BOT_MOD} (by murmur of user_id) fires {_E5_BURST} requests per event
+    — identically derived in both engines — and detection flags any user
+    whose peak hour reaches {_E5_THRESH}.
+
+    Scale shape (10^10 requests/day): request multiplicity is row-local
+    arithmetic (no explode — the burst factor is SUMMED, not
+    materialized), so the pipeline is two map-side-combinable groupBys —
+    (user, hour) then (user), the second riding on a prefix of the
+    first's key — and nothing else. No window, no join; skewed bot users
+    collapse in map-side partials exactly like hot hosts in A4."""
+    e = load(spark, sf_dir, "events")
+    is_bot_user = (
+        F.pmod(F.hash(F.expr("user_id * 7 + 3")), F.lit(_E5_BOT_MOD)) == 0
+    )
+    hourly = (
+        e.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " ts) div 3600"
+            ).alias("hr"),
+            F.when(is_bot_user, F.lit(_E5_BURST))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("m"),
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.sum("m").alias("n_req"))
+    )
+    return hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_req").alias("total_req"),
+        F.max("n_req").alias("max_hourly"),
+        (F.max("n_req") >= _E5_THRESH).alias("is_bot"),
+    )

@@ -1517,3 +1517,68 @@ def a15_cms_heavy_hitters(spark, sf_dir):
             F.col("tok").alias("token"), "exact_cnt", "cms_est"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t36 — code-switch / language-mixture detection (chunk-level lang profile)
+# ---------------------------------------------------------------------------
+
+_T36_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id,
+         [list_slice(ws, i * {_T29_CHUNK} + 1, (i + 1) * {_T29_CHUNK})
+          for i in range(0, CAST(ceil(len(ws) / {_T29_CHUNK}.0) AS BIGINT))]
+           AS chunks
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(chunks) AS INT) AS n_chunks,
+       CAST(len([ch for ch in chunks
+                 if 100 * len([x for x in ch if x = 'the' OR x = 'a'])
+                    >= 3 * len(ch)]) AS INT) AS n_en_chunks,
+       len([ch for ch in chunks
+            if 100 * len([x for x in ch if x = 'the' OR x = 'a'])
+               >= 3 * len(ch)]) > 0
+       AND len([ch for ch in chunks
+                if 100 * len([x for x in ch if x = 'the' OR x = 'a'])
+                   >= 3 * len(ch)]) < len(chunks) AS is_mixed
+FROM c
+"""
+
+
+@query("t36_code_switch", _T36_ORACLE)
+def t36_code_switch(spark, sf_dir):
+    """Chunk-level language-mixture (code-switching) detection: apply the
+    t2 stopword-ratio language test to every fixed {_T29_CHUNK}-word
+    chunk (t29's paragraph grain) instead of the whole document, and flag
+    documents whose chunks DISAGREE — the boilerplate-in-another-language
+    / embedded-quotation signal a document-level lang id (t2) averages
+    away, and the reason CCNet-class pipelines segment before language
+    scoring. Emits per-doc chunk counts so the mixture ratio is
+    reconstructible downstream.
+
+    Scale shape (100 TB): ZERO shuffle — chunking, per-chunk stopword
+    counting, and the mixture verdict are all nested higher-order array
+    functions (`transform`/`filter`/`size`) in whole-stage codegen; a
+    filter-free per-row map over the scan, same plan class as t31/t33.
+    Integer cross-multiplication (100·stop ≥ 3·len) keeps the per-chunk
+    test exact in both engines."""
+    d = load(spark, sf_dir, "documents")
+    k = _T29_CHUNK
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {k}.0)"
+        f" as int) - 1), i -> slice(split(text, ' '), i * {k} + 1, {k}))"
+    )
+    en = lambda ch: (
+        100 * F.size(F.filter(ch, lambda x: (x == "the") | (x == "a")))
+        >= 3 * F.size(ch)
+    )
+    n_en = F.size(F.filter(chunks, en))
+    n_chunks = F.size(chunks)
+    return d.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        n_en.alias("n_en_chunks"),
+        ((n_en > 0) & (n_en < n_chunks)).alias("is_mixed"),
+    )

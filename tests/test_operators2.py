@@ -698,3 +698,57 @@ def test_a15_cms_estimate_dominates_truth(spark, sf_dir):
     for r in rows:
         assert r.cms_est >= r.exact_cnt, r
         assert r.cms_est - r.exact_cnt < total, r
+
+
+def test_g9_mutual_pairs_match_direct_recompute(spark, sf_dir):
+    """g9's single-pass pair aggregation must equal the naive both-
+    directions check on the collected edge multiset, and its plan must
+    contain no self-join of the edge table (one shuffle on the pair key,
+    broadcast-only joins)."""
+    from collections import Counter
+
+    from spider_spark.operators.graph import _derived_graph
+
+    q = QUERIES["g9_reciprocal_links"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # host-id derivation + two host-name lookups, all broadcast
+    assert plan.count("BroadcastHashJoin") == 3
+
+    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+    names = {r.host_id: r.source for r in hosts.collect()}
+    cnt = Counter((r.src, r.dst) for r in edges0.collect() if r.src != r.dst)
+    want = {}
+    for (s, d), n in cnt.items():
+        if s < d and (d, s) in cnt:
+            want[(names[s], names[d])] = (n, cnt[(d, s)])
+    got = {(r.host_a, r.host_b): (r.n_fwd, r.n_rev) for r in q.collect()}
+    assert got == want
+
+
+def test_t36_chunk_verdicts_recompute(spark, sf_dir):
+    """Per-doc chunk counts recomputed in pure Python over the same 8-word
+    grain: n_chunks, n_en_chunks, and the mixed verdict must all agree."""
+    import math
+
+    from spider_spark.operators import load
+    from spider_spark.operators.textstats import _T29_CHUNK
+
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    for r in QUERIES["t36_code_switch"](spark, sf_dir).collect():
+        toks = texts[r.doc_id].split(" ")
+        chunks = [
+            toks[i * _T29_CHUNK : (i + 1) * _T29_CHUNK]
+            for i in range(math.ceil(len(toks) / _T29_CHUNK))
+        ]
+        en = [
+            ch
+            for ch in chunks
+            if 100 * sum(1 for x in ch if x in ("the", "a")) >= 3 * len(ch)
+        ]
+        assert r.n_chunks == len(chunks), r
+        assert r.n_en_chunks == len(en), r
+        assert r.is_mixed == (0 < len(en) < len(chunks)), r

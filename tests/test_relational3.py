@@ -181,3 +181,45 @@ def test_knn_prediction_is_modal_neighbor_label(spark, sf_dir):
         for r in QUERIES["emb_knn_label"](spark, sf_dir).collect()
     }
     assert got == {q: (lbl, n) for q, (lbl, n) in want.items()}
+
+
+def test_e5_planted_bots_and_only_them_flagged(spark, sf_dir):
+    """Exactly the murmur-designated users are bots (their peak hour gets
+    the 25x burst; everyone else peaks at their raw event max, far below
+    the threshold), and per-user totals decompose as burst x n_events."""
+    import pyspark.sql.functions as F
+
+    from spider_spark.operators import QUERIES, load
+    from spider_spark.operators.relational3 import (
+        _E5_BOT_MOD,
+        _E5_BURST,
+    )
+
+    rows = QUERIES["e5_bot_rate"](spark, sf_dir).collect()
+    assert rows
+    planted = {
+        r.user_id
+        for r in load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.pmod(F.hash(F.expr("user_id * 7 + 3")), F.lit(_E5_BOT_MOD)).alias(
+                "m"
+            ),
+        )
+        .filter("m = 0")
+        .distinct()
+        .collect()
+    }
+    n_ev = {
+        r.user_id: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert planted, "fixture must contain at least one planted bot"
+    for r in rows:
+        assert r.is_bot == (r.user_id in planted), r
+        mult = _E5_BURST if r.user_id in planted else 1
+        assert r.total_req == mult * n_ev[r.user_id], r
+        assert r.max_hourly <= r.total_req
