@@ -1582,3 +1582,140 @@ def t36_code_switch(spark, sf_dir):
         n_en.alias("n_en_chunks"),
         ((n_en > 0) & (n_en < n_chunks)).alias("is_mixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t37 — token frequency spectrum (Zipf band profile of the vocabulary)
+# ---------------------------------------------------------------------------
+
+_T37_ORACLE = """
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok)
+SELECT CAST(length(bin(cnt)) - 1 AS INT)      AS band,
+       CAST(2 ** (length(bin(cnt)) - 1) AS BIGINT) AS band_min_count,
+       CAST(count(*) AS BIGINT)               AS n_terms,
+       CAST(sum(cnt) AS BIGINT)               AS n_tokens
+FROM tf GROUP BY 1, 2
+"""
+
+
+@query("t37_freq_spectrum", _T37_ORACLE)
+def t37_freq_spectrum(spark, sf_dir):
+    """Token frequency spectrum: how many vocabulary terms fall in each
+    power-of-two count band [2^k, 2^(k+1)) and how much of the token mass
+    they carry — the corpus-linguistics profile (Zipf tail vs stopword
+    head) that sizes tokenizer vocabularies, df-cutoffs (t11), and
+    familiarity lists (t16), and flags template-spam corpora (a bulging
+    mid-band where near-identical boilerplate inflates mid-frequency
+    terms). Banding is by BINARY DIGIT LENGTH (``length(bin(cnt)) - 1``),
+    pure integer — no float log2 whose ULP rounding could flip a band
+    across engines.
+
+    Scale shape (100 TB): two map-side-combinable groupBys — token counts
+    (hot tokens collapse in partials), then the ≤ 64-band rollup of the
+    vocabulary-sized aggregate. No window, no join, nothing row-level
+    after the first aggregation."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        tf.withColumn("band", F.length(F.expr("bin(cnt)")) - 1)
+        .select(
+            "band",
+            F.expr("shiftleft(1L, band)").alias("band_min_count"),
+            "cnt",
+        )
+        .groupBy("band", "band_min_count")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# w11 — day-over-day trending tokens (burst detection on the term stream)
+# ---------------------------------------------------------------------------
+
+_W11_MIN = 3   # both days must reach this count (noise floor)
+_W11_TOPK = 3
+
+
+def _w11_oracle() -> str:
+    from spider_spark.operators.sqlmurmur import hashlong_aliases
+
+    return f"""
+WITH dd AS (
+  SELECT doc_id, text, {hashlong_aliases("doc_id * 5 + 1", "42", "dh", "w11")}
+  FROM documents
+),
+tk AS (
+  SELECT ((dh % 7) + 7) % 7 AS day, unnest(string_split(text, ' ')) AS tok
+  FROM dd
+),
+dt AS (SELECT day, tok, CAST(count(*) AS BIGINT) AS cnt
+       FROM tk GROUP BY day, tok),
+j AS (
+  SELECT t.day, t.tok, t.cnt AS cnt_today, p.cnt AS cnt_prev,
+         (1000000 * t.cnt) // p.cnt AS growth_ppm
+  FROM dt t JOIN dt p ON p.tok = t.tok AND p.day = t.day - 1
+  WHERE t.cnt >= {_W11_MIN} AND p.cnt >= {_W11_MIN}
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY day ORDER BY growth_ppm DESC, cnt_today DESC, tok) AS rk
+  FROM j
+)
+SELECT day, tok, cnt_today, cnt_prev, growth_ppm, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= {_W11_TOPK}
+"""
+
+
+@query("w11_trending_tokens", _w11_oracle())
+def w11_trending_tokens(spark, sf_dir):
+    """Day-over-day trending terms: per calendar day, the top-{_W11_TOPK}
+    tokens by count growth over the previous day (exact integer ppm ratio,
+    noise floor {_W11_MIN} on both days) — burst detection over the term
+    stream, the signal news-cycle-aware recrawl scheduling (c1) and
+    freshness-weighted corpus mixing consume. Publication days are derived
+    deterministically from doc_id (murmur mod 7), identically in both
+    engines, since the documents fixture carries no timestamp.
+
+    Scale shape (100 TB): the ONLY corpus-sized exchange is the map-side-
+    combinable groupBy(day, token); the day-over-day self-join and the
+    per-day top-k window both run on the (day, token) AGGREGATE (vocab-
+    sized per day, Zipf-small), joined on its own key — never on row-level
+    data. Integer growth ratios, full ordering tie-break (growth, count,
+    token), so ranks are deterministic cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        F.pmod(F.hash(F.expr("doc_id * 5 + 1")), F.lit(7)).alias("day"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    dt = tk.groupBy("day", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    prev = dt.select(
+        (F.col("day") + 1).alias("day"),
+        F.col("tok"),
+        F.col("cnt").alias("cnt_prev"),
+    )
+    j = (
+        dt.withColumnRenamed("cnt", "cnt_today")
+        .join(prev, ["day", "tok"])
+        .filter(
+            (F.col("cnt_today") >= _W11_MIN) & (F.col("cnt_prev") >= _W11_MIN)
+        )
+        .withColumn(
+            "growth_ppm", F.expr("(1000000 * cnt_today) div cnt_prev")
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.desc("growth_ppm"), F.desc("cnt_today"), "tok"
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _W11_TOPK)
+        .select("day", "tok", "cnt_today", "cnt_prev", "growth_ppm", "rk")
+    )

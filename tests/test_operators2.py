@@ -752,3 +752,53 @@ def test_t36_chunk_verdicts_recompute(spark, sf_dir):
         assert r.n_chunks == len(chunks), r
         assert r.n_en_chunks == len(en), r
         assert r.is_mixed == (0 < len(en) < len(chunks)), r
+
+
+def test_t37_bands_partition_vocabulary(spark, sf_dir):
+    """Every vocabulary term lands in exactly one band: n_terms and
+    n_tokens sum to the direct vocabulary/token totals, every band's
+    min-count is 2^band, and term counts within a band respect its
+    [2^band, 2^(band+1)) range by construction of bit length."""
+    import pyspark.sql.functions as F
+
+    from spider_spark.operators import load
+
+    rows = QUERIES["t37_freq_spectrum"](spark, sf_dir).collect()
+    assert rows
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .count()
+    )
+    n_vocab, n_tok = tf.count(), tf.agg(F.sum("count")).first()[0]
+    assert sum(r.n_terms for r in rows) == n_vocab
+    assert sum(r.n_tokens for r in rows) == n_tok
+    for r in rows:
+        assert r.band_min_count == 2**r.band
+        assert r.band_min_count * r.n_terms <= r.n_tokens
+        assert r.n_tokens < 2 * r.band_min_count * r.n_terms
+
+
+def test_w11_growth_and_ranks_consistent(spark, sf_dir):
+    """Trending ranks are dense 1..k per day, growth_ppm is the exact
+    integer ratio of the emitted counts, and both counts clear the noise
+    floor."""
+    from spider_spark.operators.textstats import _W11_MIN, _W11_TOPK
+
+    rows = QUERIES["w11_trending_tokens"](spark, sf_dir).collect()
+    assert rows
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(r)
+        assert r.cnt_today >= _W11_MIN and r.cnt_prev >= _W11_MIN
+        assert r.growth_ppm == (1_000_000 * r.cnt_today) // r.cnt_prev
+    for day, rs in by_day.items():
+        ranks = sorted(x.rk for x in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(rs) <= _W11_TOPK
+        # ordering respected: growth desc, then count desc, then token
+        srt = sorted(
+            rs, key=lambda x: (-x.growth_ppm, -x.cnt_today, x.tok)
+        )
+        assert [x.rk for x in srt] == sorted(x.rk for x in rs)
