@@ -893,3 +893,76 @@ def c8_fetch_budget(spark, sf_dir):
             .alias("quota"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c9 — URL template mining (pattern-level frontier compression)
+# ---------------------------------------------------------------------------
+
+_C9_MIN_URLS = 5
+
+_C9_ORACLE = f"""
+WITH urls AS (
+  SELECT DISTINCT
+         source || '/sec' || (doc_id % 5) || '/page/' || doc_id ||
+         CASE WHEN doc_id % 4 = 0 THEN '?ref=' || (doc_id % 100) ELSE '' END
+           AS url,
+         source
+  FROM documents
+),
+tpl AS (
+  SELECT source,
+         regexp_replace(url, '[0-9]+', '{{d}}', 'g') AS template,
+         url
+  FROM urls
+)
+SELECT source, template,
+       count(*) AS n_urls,
+       min(url) AS sample_url
+FROM tpl
+GROUP BY source, template
+HAVING count(*) >= {_C9_MIN_URLS}
+"""
+
+
+@query("c9_url_templates", _C9_ORACLE)
+def c9_url_templates(spark, sf_dir):
+    """URL template mining: collapse every discovered URL to its digit
+    template (``regexp_replace(url, '[0-9]+', '{d}')``) and count URLs
+    per (host, template). Templates with huge URL counts are pattern
+    families — pagination chains, calendar pages, faceted-search
+    permutations — that a frontier should budget at the *template* level
+    rather than URL-by-URL (the generalization of c6's per-host trap
+    flags: c6 says WHICH host is a trap, c9 says WHICH url shape). URL
+    observations are derived deterministically from ``documents``
+    (path section = doc_id % 5, every 4th URL carries a ?ref= query),
+    so both engines see the identical URL multiset.
+
+    Scale shape (10^10 URLs): one distinct on url, one row-local
+    regexp_replace (codegen, zero exchange), one map-side-combinable
+    groupBy(source, template) — template cardinality is orders of
+    magnitude below URL cardinality, so the aggregate output is small
+    enough to broadcast back as a frontier-side budget table."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.col("source"),
+        F.lit("/sec"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/page/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?ref="), (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    urls = d.select(url.alias("url"), "source").distinct()
+    tpl = urls.select(
+        "source",
+        F.regexp_replace("url", "[0-9]+", "{d}").alias("template"),
+        "url",
+    )
+    return (
+        tpl.groupBy("source", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"), F.min("url").alias("sample_url"))
+        .filter(F.col("n_urls") >= _C9_MIN_URLS)
+    )

@@ -1443,3 +1443,110 @@ def t30_leakage_safe_split(spark, sf_dir):
         .otherwise("heldout")
         .alias("side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d15 — asymmetric token containment (subset-duplicate detection)
+# ---------------------------------------------------------------------------
+
+_D15_THRESH = 0.5  # containment C(A in B) = |A∩B| / |A|
+
+_D15_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, source, lang, tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+hot AS (
+  SELECT tok FROM tok, n GROUP BY tok, nd
+  HAVING count(*) > greatest(5.0, 0.5 * nd)
+),
+kept AS (SELECT * FROM tok WHERE tok NOT IN (SELECT tok FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS nn FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM kept a JOIN kept b
+    ON a.tok = b.tok AND a.source = b.source AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sized AS (
+  SELECT p.id_a, p.id_b, p.inter, sa.nn AS na, sb.nn AS nb
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+),
+directed AS (
+  SELECT id_a AS contained, id_b AS container,
+         floor(inter * 10000.0 / na + 0.5) / 10000.0 AS containment
+  FROM sized WHERE inter * 1.0 / na >= {_D15_THRESH}
+  UNION ALL
+  SELECT id_b AS contained, id_a AS container,
+         floor(inter * 10000.0 / nb + 0.5) / 10000.0 AS containment
+  FROM sized WHERE inter * 1.0 / nb >= {_D15_THRESH}
+)
+SELECT contained, container, containment FROM directed
+"""
+
+
+@query("d15_token_containment", _D15_ORACLE)
+def d15_token_containment(spark, sf_dir):
+    """Asymmetric containment dedup: C(A in B) = |tokens(A) ∩ tokens(B)|
+    / |tokens(A)| — catches documents *subsumed* by a larger one (quote
+    aggregators, article+comments re-posts, boilerplate-wrapped copies)
+    that symmetric Jaccard (d2) under-scores because the big document
+    inflates the union. The standard companion signal to resemblance in
+    Broder's shingling framework (syntactic clustering of the web).
+
+    Same inverted-index discipline as d2: distinct tokens, blocked on
+    (source, lang), document-frequency cap drops corpus-ubiquitous
+    tokens before the pair join (candidate volume Σ df², never corpus²).
+    Undirected intersections are computed once (id_a < id_b), then BOTH
+    directions are scored row-locally — the containment denominator is
+    per-direction, the join work is not doubled. 4-dp deterministic
+    rounding per :func:`_jac4`.
+
+    Scale shape (10^10 docs): identical to d2 — the pair join is the one
+    shuffle; at full scale the same banding that takes d2→d3 applies
+    (MinHash estimates containment too: |A∩B|/|A| from the same
+    signatures given |A|,|B|)."""
+    d = load(spark, sf_dir, "documents")
+    tok = _df_capped(
+        d.select(
+            "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("tok")
+        ).distinct(),
+        d,
+        "tok",
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("nn"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
+    sized = pairs.join(sa, "id_a").join(sb, "id_b")
+    fwd = sized.filter(
+        F.col("inter") * 1.0 / F.col("na") >= _D15_THRESH
+    ).select(
+        F.col("id_a").alias("contained"),
+        F.col("id_b").alias("container"),
+        _jac4(F.col("inter"), F.col("na")).alias("containment"),
+    )
+    rev = sized.filter(
+        F.col("inter") * 1.0 / F.col("nb") >= _D15_THRESH
+    ).select(
+        F.col("id_b").alias("contained"),
+        F.col("id_a").alias("container"),
+        _jac4(F.col("inter"), F.col("nb")).alias("containment"),
+    )
+    return fwd.unionAll(rev)

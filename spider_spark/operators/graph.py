@@ -819,3 +819,86 @@ def g9_reciprocal_links(spark, sf_dir: str):
         .join(F.broadcast(hb), "b")
         .select("host_a", "host_b", "n_fwd", "n_rev")
     )
+
+
+# ---------------------------------------------------------------------------
+# g10 — mirror-host detection: Jaccard over out-neighbor sets
+# ---------------------------------------------------------------------------
+
+_G10_THRESH = 0.5
+
+_G10_ORACLE = f"""
+WITH {_GRAPH_CTES},
+out_nbrs AS (SELECT DISTINCT src, dst FROM edges0),
+sizes AS (SELECT src, count(*) AS deg FROM out_nbrs GROUP BY src),
+pairs AS (
+  SELECT a.src AS host_x, b.src AS host_y, count(*) AS inter
+  FROM out_nbrs a JOIN out_nbrs b
+    ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src
+),
+scored AS (
+  SELECT p.host_x, p.host_y, p.inter, sx.deg AS dx, sy.deg AS dy
+  FROM pairs p
+  JOIN sizes sx ON sx.src = p.host_x
+  JOIN sizes sy ON sy.src = p.host_y
+)
+SELECT hx.source AS host_a, hy.source AS host_b,
+       floor(inter * 10000.0 / (dx + dy - inter) + 0.5) / 10000.0 AS jaccard
+FROM scored
+JOIN hosts hx ON hx.host_id = scored.host_x
+JOIN hosts hy ON hy.host_id = scored.host_y
+WHERE inter * 1.0 / (dx + dy - inter) >= {_G10_THRESH}
+"""
+
+
+@query("g10_mirror_hosts", _G10_ORACLE)
+def g10_mirror_hosts(spark, sf_dir: str):
+    """Mirror-host detection over the derived link graph: host pairs whose
+    distinct out-neighbor sets overlap with Jaccard ≥ 0.5 — the
+    link-structure signal for mirrors / syndication networks / parked-
+    domain farms (Bharat & Broder, WWW'99 "mirror detection on the web"
+    use exactly out-link + shingle overlap). Content-side near-dup (d3)
+    finds copied PAGES; g10 finds copied SITES, which a frontier should
+    collapse to one representative before spending fetch budget.
+
+    Scale shape (10^8 hosts): the pair join is keyed on the shared
+    out-neighbor (candidate volume Σ deg(dst)² over the DISTINCT edge
+    set, never hosts²); a df-cap on ubiquitous dst hosts (the d2
+    discipline) applies at full scale, and the same sign-LSH banding
+    that de-quadraticizes d5 applies to the out-neighbor bit-vectors.
+    Intersections are integers; Jaccard is the 4-dp deterministic
+    rational rounding shared with the dedup family."""
+    from pyspark.sql import functions as F
+
+    hosts, _n_hosts, edges0 = _derived_graph(spark, sf_dir)
+    out_nbrs = edges0.select("src", "dst").distinct()
+    sizes = out_nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = out_nbrs.alias("a")
+    b = out_nbrs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("host_x"), F.col("b.src").alias("host_y"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sx = sizes.select(F.col("src").alias("host_x"), F.col("deg").alias("dx"))
+    sy = sizes.select(F.col("src").alias("host_y"), F.col("deg").alias("dy"))
+    scored = pairs.join(sx, "host_x").join(sy, "host_y")
+    union = F.col("dx") + F.col("dy") - F.col("inter")
+    jac4 = F.floor(F.col("inter") * 10000.0 / union + F.lit(0.5)) / 10000.0
+    hx = hosts.select(
+        F.col("host_id").alias("host_x"), F.col("source").alias("host_a")
+    )
+    hy = hosts.select(
+        F.col("host_id").alias("host_y"), F.col("source").alias("host_b")
+    )
+    return (
+        scored.filter(F.col("inter") * 1.0 / union >= _G10_THRESH)
+        .join(F.broadcast(hx), "host_x")
+        .join(F.broadcast(hy), "host_y")
+        .select("host_a", "host_b", jac4.alias("jaccard"))
+    )

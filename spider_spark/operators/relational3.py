@@ -543,3 +543,63 @@ def e5_bot_rate(spark, sf_dir):
         F.max("n_req").alias("max_hourly"),
         (F.max("n_req") >= _E5_THRESH).alias("is_bot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e6 — event-type transition matrix (first-order Markov over user streams)
+# ---------------------------------------------------------------------------
+
+_E6_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, sum(n) AS row_n FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n,
+       floor(t.n * 10000.0 / tot.row_n + 0.5) / 10000.0 AS p
+FROM trans t JOIN tot ON tot.prev_type = t.prev_type
+"""
+
+
+@query("e6_event_transitions", _E6_ORACLE)
+def e6_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    for every (prev_type → next_type) adjacent pair (ordered by ts,
+    event_id tie-break) the global count and the row-normalized
+    transition probability. The session-modeling companion to w4's
+    sessionize and e1's funnel — funnels check ONE path, the transition
+    matrix scores ALL paths (and its stationary behavior feeds bot
+    detection: uniform rows are scripted traffic).
+
+    Exactness: counts are integers; p is the shared 4-dp rational
+    rounding (one multiply/divide/floor), so engines agree bit-for-bit.
+
+    Scale shape (10^10 events): the lag window shuffles once on user_id
+    (each user's stream sorts independently — no global sort); the pair
+    counts collapse to |event_type|² rows via a map-side-combinable
+    groupBy, and the row-total join runs on that tiny aggregate, not on
+    events. This is the plan a 1000-executor cluster wants: one exchange
+    over the big table, everything after it at matrix cardinality."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    p4 = F.floor(F.col("n") * 10000.0 / F.col("row_n") + F.lit(0.5)) / 10000.0
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type", "next_type", "n", p4.alias("p")
+    )

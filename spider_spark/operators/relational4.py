@@ -737,3 +737,78 @@ def a14_equiwidth_hist(spark, sf_dir):
         F.min("n_chars").cast("long").alias("min_val"),
         F.max("n_chars").cast("long").alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q21 — TPC-H-Q22 shape: global sales opportunity (anti-join vs avg gate)
+# ---------------------------------------------------------------------------
+
+_Q21_CODES = (1, 4, 9, 12, 15, 20, 23)  # the "country code" pool (Q22's I7)
+
+_Q21_ORACLE = f"""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey IN {_Q21_CODES}
+),
+gate AS (
+  SELECT sum(bal_cents) AS tot, count(*) AS n
+  FROM pool WHERE bal_cents > 0
+)
+SELECT cntrycode,
+       count(*) AS numcust,
+       sum(bal_cents) AS totacctbal_cents
+FROM pool, gate
+WHERE bal_cents * n > tot
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey)
+GROUP BY cntrycode
+"""
+
+
+@query("q21_sales_opportunity", _Q21_ORACLE)
+def q21_sales_opportunity(spark, sf_dir):
+    """TPC-H-Q22 shape: per country-code count and balance mass of
+    customers whose balance beats the pool's positive-balance average but
+    who have never placed an order — the classic scalar-subquery +
+    NOT-EXISTS decorrelation (reference scripts never need it; a
+    warehouse user of the engine does). With no phone column in the
+    fixture, cntrycode := c_nationkey % 10 and the Q22 'substring IN
+    (...)' pool is a nationkey IN-list that reaches the scan.
+
+    Exactness: the average gate is never materialized as a double —
+    balances become integer cents per row (one deterministic IEEE
+    multiply + half-up), the gate is the exact integer pair (sum, count),
+    and 'bal > avg' is the cross-multiplied integer test
+    ``bal_cents * n > tot`` — so Spark and DuckDB cannot disagree on a
+    boundary customer no matter the summation order.
+
+    Scale shape: the IN-list predicate is pushed to the customer scan;
+    the 1-row gate crossJoins in as a broadcast; NOT EXISTS is a
+    left_anti join on custkey (the one shuffle — at 10^10 rows both
+    sides bucket on custkey and it is co-partitioned); the final groupBy
+    is 10 keys, map-side combinable."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*_Q21_CODES)
+    )
+    pool = c.select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).alias("cntrycode"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    gate = pool.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    rich = pool.crossJoin(F.broadcast(gate)).filter(
+        F.col("bal_cents") * F.col("n") > F.col("tot")
+    )
+    no_orders = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_cents").alias("totacctbal_cents"),
+    )

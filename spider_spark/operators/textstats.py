@@ -1719,3 +1719,78 @@ def w11_trending_tokens(spark, sf_dir):
         .filter(F.col("rk") <= _W11_TOPK)
         .select("day", "tok", "cnt_today", "cnt_prev", "growth_ppm", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# t38 — token-distribution Shannon entropy per document
+# ---------------------------------------------------------------------------
+
+_T38_ORACLE = """
+WITH tokc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT)  AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         list(CAST(c AS DOUBLE) ORDER BY tok) AS arr
+  FROM tokc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       floor((log2(n_tokens)
+              - list_sum(list_transform(arr, c -> c * log2(c))) / n_tokens)
+             * 10000.0 + 0.5) / 10000.0 AS entropy
+FROM agg
+"""
+
+
+@query("t38_token_entropy", _T38_ORACLE)
+def t38_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution,
+    H = log2(N) − (Σ c·log2 c)/N — the standard gibberish/template
+    detector in webtext quality stacks (keyword-stuffed spam and
+    generated boilerplate sit at the low-entropy tail, encrypted/binary
+    junk at the high tail; C4 and Gopher both gate on related
+    repetition signals, t8 covers those — entropy is the
+    distribution-level summary).
+
+    Determinism: both engines fold c·log2(c) over the SAME token-sorted
+    count array (Spark ``aggregate(array_sort(...))`` is a sequential
+    left fold, DuckDB ``list_sum(list_transform(list(... ORDER BY
+    tok)))``), so the only cross-engine freedom is libm log2 ULPs —
+    error ~1e-14 absolute against a 4-dp rounding grid, negligible.
+
+    Scale shape: one map-side-combinable groupBy(doc_id, tok) exchange
+    over the exploded corpus, one groupBy(doc_id); the per-doc count
+    array is bounded by document vocabulary (≤ doc length), never
+    corpus vocabulary. No window, no driver loop — the same two-exchange
+    plan at 10^10 documents."""
+    d = load(spark, sf_dir, "documents")
+    tokc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tokc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("tok").alias("tok"), F.col("c").cast("double").alias("c")
+                )
+            )
+        ).alias("arr"),
+    )
+    ssum = F.expr(
+        "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.c * log2(s.c))"
+    )
+    ent = F.log2(F.col("n_tokens")) - ssum / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.floor(ent * 10000.0 + F.lit(0.5)) / 10000.0).alias("entropy"),
+    )

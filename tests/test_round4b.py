@@ -1,0 +1,184 @@
+"""Targeted invariants for the round-4 continuation batch (d15, q21, c9,
+g10, e6, t38) — the semantic claims the DuckDB value-hash check can't
+express: planted-fixture answers, probability-row normalization, and
+known-entropy documents."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from spider_spark.operators import QUERIES
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_containment_finds_subset_doc(spark, tmp_path):
+    """Doc 1's token set is a strict subset of doc 2's → containment(1 in
+    2) = 1.0 even though Jaccard is diluted; the reverse direction stays
+    below threshold; an unrelated doc pairs with nobody."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta", "en", "h1", 22),
+            (
+                2,
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "en",
+                "h1",
+                56,
+            ),
+            (3, "unrelated words entirely different tokens", "en", "h1", 41),
+        ],
+    )
+    rows = QUERIES["d15_token_containment"](spark, str(tmp_path)).collect()
+    got = {(r["contained"], r["container"]): r["containment"] for r in rows}
+    assert got == {(1, 2): 1.0}  # 4/4 forward; 4/10 reverse < 0.5
+
+
+def test_containment_direction_is_asymmetric(spark, tmp_path):
+    """60% overlap from A's side, 30% from B's side → only A-in-B emitted,
+    with the 4-dp rounded ratio."""
+    a_toks = "t1 t2 t3 t4 t5"  # 5 tokens, 3 shared
+    b_toks = "t1 t2 t3 b1 b2 b3 b4 b5 b6 b7"  # 10 tokens
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, a_toks, "en", "h", 10), (2, b_toks, "en", "h", 10)],
+    )
+    rows = QUERIES["d15_token_containment"](spark, str(tmp_path)).collect()
+    got = {(r["contained"], r["container"]): r["containment"] for r in rows}
+    assert got == {(1, 2): 0.6}
+
+
+def test_q21_gate_is_strict_and_anti_joined(spark, tmp_path):
+    """Planted Q22 fixture: the average gate uses exact integer
+    cross-multiplication (a customer exactly AT the average is excluded)
+    and customers with any order are excluded however rich."""
+    # nationkey 1 → cntrycode 1. Balances: 10.00, 20.00, 30.00 → avg 20.00.
+    cust = [
+        (1, "c1", 1, 10.0, "A"),  # below avg
+        (2, "c2", 1, 20.0, "A"),  # exactly avg → excluded (strict >)
+        (3, "c3", 1, 30.0, "A"),  # above avg, no orders → counted
+        (4, "c4", 1, 30.0, "A"),  # above avg but HAS an order → excluded
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(100, 4, "O", 5.0, dt.datetime(1995, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    rows = QUERIES["q21_sales_opportunity"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cntrycode"], r["numcust"], r["totacctbal_cents"]) == (1, 1, 3000)
+
+
+def test_url_templates_collapse_digits(spark, sf_dir):
+    """Every emitted template has digits collapsed to {d}, meets the
+    count floor, and the per-(source, template) counts re-derive from
+    the URL construction rule."""
+    rows = QUERIES["c9_url_templates"](spark, sf_dir).collect()
+    assert rows
+
+    for r in rows:
+        assert "{d}" in r["template"]
+        assert not re.search(r"\d", r["template"])
+        assert r["n_urls"] >= 5
+        assert r["sample_url"].startswith(r["source"])
+    # re-derive: docs whose id % 4 == 0 carry a query string → their own
+    # template; counts per source must match the doc_id arithmetic.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    from collections import Counter
+
+    expect: Counter = Counter()
+    for d in docs:
+        url = f"{d['source']}/sec{d['doc_id'] % 5}/page/{d['doc_id']}"
+        if d["doc_id"] % 4 == 0:
+            url += f"?ref={d['doc_id'] % 100}"
+        expect[(d["source"], re.sub(r"\d+", "{d}", url))] += 1
+    got = {(r["source"], r["template"]): r["n_urls"] for r in rows}
+    for k, v in expect.items():
+        if v >= 5:
+            assert got[k] == v
+        else:
+            assert k not in got
+
+
+def test_mirror_hosts_match_bruteforce(spark, sf_dir):
+    """g10 equals a pure-Python brute force over the same derived graph
+    (collected at sf0.001 scale): every pair with out-neighbor Jaccard
+    ≥ 0.5, 4-dp floor-rounded."""
+    from spider_spark.operators.graph import _derived_graph
+
+    hosts, _n, edges0 = _derived_graph(spark, sf_dir)
+    nbrs: dict[int, set] = {}
+    for r in edges0.collect():
+        nbrs.setdefault(r["src"], set()).add(r["dst"])
+    names = {r["host_id"]: r["source"] for r in hosts.collect()}
+    expect = {}
+    ids = sorted(nbrs)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            inter = len(nbrs[x] & nbrs[y])
+            union = len(nbrs[x] | nbrs[y])
+            if union and inter / union >= 0.5:
+                expect[(names[x], names[y])] = (
+                    math.floor(inter * 10000.0 / union + 0.5) / 10000.0
+                )
+    rows = QUERIES["g10_mirror_hosts"](spark, sf_dir).collect()
+    got = {(r["host_a"], r["host_b"]): r["jaccard"] for r in rows}
+    assert got == expect
+
+
+def test_event_transitions_rows_normalize(spark, sf_dir):
+    """Per prev_type the probabilities sum to 1 within rounding grain and
+    the total transition count equals Σ_user (n_events − 1)."""
+    rows = QUERIES["e6_event_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        p_sum = sum(r["p"] for r in rs)
+        assert abs(p_sum - 1.0) <= 0.0001 * len(rs), (prev, p_sum)
+    total = sum(r["n"] for r in rows)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert total == sum(r["n"] - 1 for r in ev)
+
+
+def test_token_entropy_known_documents(spark, tmp_path):
+    """Constant doc → 0 bits; four distinct tokens → 2 bits; 3:1 mix →
+    H = 2 − 0.75·log2(3) rounded at 4 dp."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a a a a", "en", "h", 7),
+            (2, "a b c d", "en", "h", 7),
+            (3, "a a a b", "en", "h", 7),
+        ],
+    )
+    rows = QUERIES["t38_token_entropy"](spark, str(tmp_path)).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy"]) for r in rows}
+    h3 = math.floor((2.0 - 0.75 * math.log2(3.0)) * 10000 + 0.5) / 10000
+    assert got[1] == (4, 1, 0.0)
+    assert got[2] == (4, 4, 2.0)
+    assert got[3] == (4, 2, h3)
