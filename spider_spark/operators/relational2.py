@@ -673,3 +673,80 @@ def q8_small_quantity(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w12 — dense coverage calendar with zero-filled gaps + trailing window
+# ---------------------------------------------------------------------------
+
+_W12_ORACLE = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+),
+cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (SELECT t.event_type, c.day FROM types t CROSS JOIN cal c)
+SELECT g.event_type,
+       CAST(g.day AS VARCHAR) AS day,
+       CAST(COALESCE(cn.n, 0) AS BIGINT) AS n,
+       CAST(sum(COALESCE(cn.n, 0)) OVER (
+              PARTITION BY g.event_type ORDER BY g.day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7
+FROM grid g LEFT JOIN counts cn
+  ON cn.event_type = g.event_type AND cn.day = g.day
+"""
+
+
+@query("w12_coverage_calendar", _W12_ORACLE)
+def w12_coverage_calendar(spark, sf_dir):
+    """Dense per-type daily activity calendar: every (event_type, day)
+    cell between the global min and max day — INCLUDING zero days — with
+    the 7-day trailing total. The crawl-coverage audit shape: a fetch
+    pipeline that silently stalls for a day shows a zero cell here,
+    where a plain groupBy(day) simply omits the row and nobody notices
+    (the reference's hourly scan S7 has the same blind spot; its
+    sequence+explode is the fix, applied at day grain).
+
+    Determinism: all counts are integers; the trailing window is ROWS
+    BETWEEN 6 PRECEDING on a gap-free calendar (dense by construction),
+    so both engines see the identical frame.
+
+    Scale shape: the calendar is |days| rows from a 1-row bound
+    aggregate (sequence+explode, broadcastable); the grid crossJoin is
+    |types|·|days| — tiny; the only big-table work is one map-side-
+    combinable groupBy(event_type, day) on events. The final window
+    partitions by event_type over day-count rows, never over events."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = types.crossJoin(F.broadcast(cal))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    dense = (
+        grid.join(counts, ["event_type", "day"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+    )
+    return dense.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.sum("n").over(w).cast("long").alias("trail7"),
+    )

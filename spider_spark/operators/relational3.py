@@ -603,3 +603,66 @@ def e6_event_transitions(spark, sf_dir):
     return trans.join(F.broadcast(tot), "prev_type").select(
         "prev_type", "next_type", "n", p4.alias("p")
     )
+
+
+# ---------------------------------------------------------------------------
+# e7 — top event paths (most common length-3 subsequences)
+# ---------------------------------------------------------------------------
+
+_E7_TOPK = 20
+
+_E7_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type, 2) OVER w AS p2,
+         lag(event_type, 1) OVER w AS p1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path, count(*) AS n
+  FROM ordered WHERE p2 IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk
+  FROM paths
+)
+SELECT path, n, rk FROM ranked WHERE rk <= {_E7_TOPK}
+"""
+
+
+@query("e7_top_paths", _E7_ORACLE)
+def e7_top_paths(spark, sf_dir):
+    """Top-K most frequent length-3 event paths across all user streams
+    (ordered by ts, event_id tie-break) — the path-mining companion to
+    e6: the transition matrix scores individual hops, e7 surfaces whole
+    journeys ('view > view > purchase'). Rank ties break on the path
+    string so the answer is total-order deterministic.
+
+    Scale shape (10^10 events): the double-lag window is ONE shuffle on
+    user_id (both lags share the frame); path counts collapse to
+    |event_type|³ rows max via map-side-combinable groupBy; the final
+    rank is a window over that tiny aggregate — Catalyst turns the
+    rk <= K filter into a per-partition top-K before the single-task
+    sort, so nothing big ever sorts globally."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+    )
+    paths = (
+        ordered.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(" > ", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("path")))
+    return (
+        paths.select("path", "n", rk.alias("rk"))
+        .filter(F.col("rk") <= _E7_TOPK)
+    )

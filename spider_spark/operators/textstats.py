@@ -1794,3 +1794,99 @@ def t38_token_entropy(spark, sf_dir):
         "n_distinct",
         (F.floor(ent * 10000.0 + F.lit(0.5)) / 10000.0).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t39 — readability (Flesch reading ease, exact rational milli-points)
+# ---------------------------------------------------------------------------
+
+_T39_ORACLE = """
+WITH words AS (
+  SELECT doc_id, w,
+         regexp_replace(lower(w), '[aeiouy]+', 'V', 'g') AS vw
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+),
+syl AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(greatest(1, len(vw) - len(replace(vw, 'V', '')))) AS BIGINT)
+           AS n_syllables
+  FROM words GROUP BY doc_id
+),
+sent AS (
+  SELECT doc_id,
+         CAST(greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+                                          x -> trim(x) <> ''))) AS BIGINT)
+           AS n_sentences
+  FROM documents
+)
+SELECT s.doc_id, s.n_words, s.n_syllables, t.n_sentences,
+       CAST(floor((206835.0 * t.n_sentences * s.n_words
+                   - 1015.0 * s.n_words * s.n_words
+                   - 84600.0 * s.n_syllables * t.n_sentences)
+                  / (t.n_sentences * s.n_words) + 0.5) AS BIGINT)
+         AS fre_milli
+FROM syl s JOIN sent t ON t.doc_id = s.doc_id
+"""
+
+
+@query("t39_readability", _T39_ORACLE)
+def t39_readability(spark, sf_dir):
+    """Flesch reading ease per document — 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/word) — the classic readability gate in
+    webtext quality stacks (too-low FRE flags legalese/boilerplate,
+    implausibly high flags keyword lists). Syllables are approximated as
+    vowel-group runs per word (min 1), the standard heuristic; sentences
+    as non-empty [.!?]-separated spans (min 1).
+
+    Exactness: all three counts are integers, and the score is evaluated
+    over the common denominator — ONE double division of products that
+    stay < 2^53 — then floor-rounded to integer milli-points, so the
+    engines cannot drift: fre_milli = round((206835·S·W − 1015·W² −
+    84600·Syl·S) / (S·W)).
+
+    Scale shape: one explode + map-side-combinable groupBy(doc_id) for
+    the word/syllable counts; the sentence count is row-local regex
+    math; the final join is doc-keyed. Same two-exchange plan at 10^10
+    documents."""
+    d = load(spark, sf_dir, "documents")
+    vw = F.regexp_replace(F.lower(F.col("w")), "[aeiouy]+", "V")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.length(vw) - F.length(F.regexp_replace(vw, "V", "")),
+        ).alias("syl"),
+    )
+    syl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("syl").cast("long").alias("n_syllables"),
+    )
+    sent = d.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.filter(
+                    F.split("text", "[.!?]+"),
+                    lambda x: F.trim(x) != "",
+                )
+            ),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+    )
+    j = syl.join(sent, "doc_id")
+    s, w, y = F.col("n_sentences"), F.col("n_words"), F.col("n_syllables")
+    fre = (
+        206835.0 * s * w - 1015.0 * w * w - 84600.0 * y * s
+    ) / (s * w)
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        F.floor(fre + F.lit(0.5)).cast("long").alias("fre_milli"),
+    )

@@ -182,3 +182,78 @@ def test_token_entropy_known_documents(spark, tmp_path):
     assert got[1] == (4, 1, 0.0)
     assert got[2] == (4, 4, 2.0)
     assert got[3] == (4, 2, h3)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_readability_known_document(spark, tmp_path):
+    """Hand-computed Flesch milli-points: 'the cat sat. it ran!' has
+    W=5, S=2, Syl=5 → 119697.5 → 119698; vowel-less words floor at one
+    syllable each."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "the cat sat. it ran!", "en", "h", 20),
+            (2, "xyz 123", "en", "h", 7),
+        ],
+    )
+    rows = QUERIES["t39_readability"](spark, str(tmp_path)).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_syllables"],
+            r["n_sentences"],
+            r["fre_milli"],
+        )
+        for r in rows
+    }
+    assert got[1] == (5, 5, 2, 119698)
+    assert got[2] == (2, 2, 1, 120205)
+
+
+def test_top_paths_window_and_tiebreak(spark, tmp_path):
+    """One user emitting A B C B C: paths ABC, BCB, CBC each once —
+    ranked by (count desc, path asc)."""
+    t0 = dt.datetime(2024, 1, 1)
+    evs = [
+        (i, t0 + dt.timedelta(minutes=i), 7, et, 0.0, "{}")
+        for i, et in enumerate(["A", "B", "C", "B", "C"])
+    ]
+    _write_events(spark, tmp_path, evs)
+    rows = sorted(
+        QUERIES["e7_top_paths"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert [(r["path"], r["n"], r["rk"]) for r in rows] == [
+        ("A > B > C", 1, 1),
+        ("B > C > B", 1, 2),
+        ("C > B > C", 1, 3),
+    ]
+
+
+def test_coverage_calendar_zero_fills_gap_days(spark, tmp_path):
+    """Events on Jan 1 and Jan 4 only → the calendar still emits Jan 2/3
+    with n=0, and trail7 accumulates across the zero cells."""
+    evs = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "view", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 1, "view", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 4, 9), 2, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, evs)
+    rows = sorted(
+        QUERIES["w12_coverage_calendar"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [(r["day"], r["n"], r["trail7"]) for r in rows] == [
+        ("2024-01-01", 2, 2),
+        ("2024-01-02", 0, 2),
+        ("2024-01-03", 0, 2),
+        ("2024-01-04", 1, 3),
+    ]
