@@ -292,10 +292,14 @@ def minhash_signatures_df(d):
     )
 
 
+_D16_THRESH = 0.5  # shingle-containment threshold for the banded scale path
+
+
 def _d3_oracle(
     pair_cond: str = "a.doc_id < b.doc_id",
     a_name: str = "id_a",
     b_name: str = "id_b",
+    metric: str = "jaccard",
 ) -> str:
     """The full minhash pipeline transcribed to DuckDB SQL: shingles →
     generated murmur3 fold (sqlmurmur, bit-parity with Spark's hash()) →
@@ -349,15 +353,32 @@ def _d3_oracle(
     ), jac AS (
       SELECT c.id_a, c.id_b,
              len(list_intersect(sa.sh, sb.sh)) AS inter,
-             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni,
+             len(sa.sh) AS na, len(sb.sh) AS nb
       FROM cand c
       JOIN shlist sa ON sa.doc_id = c.id_a
       JOIN shlist sb ON sb.doc_id = c.id_b
     )
+    {{tail}}
+    """.replace(
+        "{tail}",
+        f"""
     SELECT id_a AS {a_name}, id_b AS {b_name},
            floor(inter * 10000.0 / uni + 0.5) / 10000.0 AS jaccard
-    FROM jac WHERE inter * 1.0 / uni >= 0.35
-    """
+    FROM jac WHERE inter * 1.0 / uni >= 0.35"""
+        if metric == "jaccard"
+        else f"""
+    , directed AS (
+      SELECT id_a AS contained, id_b AS container,
+             floor(inter * 10000.0 / na + 0.5) / 10000.0 AS containment
+      FROM jac WHERE inter * 1.0 / na >= {_D16_THRESH}
+      UNION ALL
+      SELECT id_b AS contained, id_a AS container,
+             floor(inter * 10000.0 / nb + 0.5) / 10000.0 AS containment
+      FROM jac WHERE inter * 1.0 / nb >= {_D16_THRESH}
+    )
+    SELECT contained, container, containment FROM directed""",
+    )
 
 
 def _minhash_bands(sigs):
@@ -1544,6 +1565,76 @@ def d15_token_containment(spark, sf_dir):
     )
     rev = sized.filter(
         F.col("inter") * 1.0 / F.col("nb") >= _D15_THRESH
+    ).select(
+        F.col("id_b").alias("contained"),
+        F.col("id_a").alias("container"),
+        _jac4(F.col("inter"), F.col("nb")).alias("containment"),
+    )
+    return fwd.unionAll(rev)
+
+
+# ---------------------------------------------------------------------------
+# d16 — banded containment: the at-scale path for d15
+# ---------------------------------------------------------------------------
+
+
+@query("d16_containment_lsh", _d3_oracle(metric="containment"))
+def d16_containment_lsh(spark, sf_dir):
+    """Banded containment dedup — the scale path for d15, exactly as d3
+    is the scale path for d2: candidates come from the shared MinHash
+    band join (signatures are JVM column math, the band-bucket equi-join
+    is the only corpus shuffle), then EXACT shingle containment
+    C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)| is verified on candidates
+    only, both directions scored from one undirected intersection.
+
+    Note the asymmetric blind spot LSH inherits: a tiny document buried
+    in a huge one has high containment but low Jaccard, so its band
+    collision probability is low — production pipelines raise band
+    count / lower band size for containment workloads (the
+    suffix-array d10 path catches verbatim inclusions regardless).
+    d15 (exact, df-capped inverted index) remains the oracle-grade
+    reference; this is the shape that survives 10^9 documents.
+
+    Shingle grain (SHINGLE_W tokens) rather than d15's unigrams: at
+    shingle grain containment ≈ verbatim-span inclusion, which is the
+    signal ExactSubstr-style dedup wants."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = _minhash_bands(minhash_signatures_df(d))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = _shingle_sets(d)
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sized = (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    fwd = sized.filter(
+        F.col("inter") * 1.0 / F.col("na") >= _D16_THRESH
+    ).select(
+        F.col("id_a").alias("contained"),
+        F.col("id_b").alias("container"),
+        _jac4(F.col("inter"), F.col("na")).alias("containment"),
+    )
+    rev = sized.filter(
+        F.col("inter") * 1.0 / F.col("nb") >= _D16_THRESH
     ).select(
         F.col("id_b").alias("contained"),
         F.col("id_a").alias("container"),

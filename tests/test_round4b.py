@@ -257,3 +257,28 @@ def test_coverage_calendar_zero_fills_gap_days(spark, tmp_path):
         ("2024-01-03", 0, 2),
         ("2024-01-04", 1, 3),
     ]
+
+
+def test_containment_lsh_catches_verbatim_inclusion(spark, tmp_path):
+    """A document fully embedded verbatim in a larger one shares ALL its
+    shingles → identical minhash contributions guarantee a band
+    collision, and the exact verify reports containment 1.0 from the
+    small side; d15 (exact path) agrees on the same fixture."""
+    small = " ".join(f"w{i}" for i in range(60))
+    big = small + " " + " ".join(f"x{i}" for i in range(5))
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, small, "en", "h", len(small)),
+            (2, big, "en", "h", len(big)),
+            (3, " ".join(f"z{i}" for i in range(40)), "en", "h", 40),
+        ],
+    )
+    rows = QUERIES["d16_containment_lsh"](spark, str(tmp_path)).collect()
+    got = {(r["contained"], r["container"]): r["containment"] for r in rows}
+    assert got[(1, 2)] == 1.0
+    assert all(k[0] != 3 and k[1] != 3 for k in got)
+    exact = QUERIES["d15_token_containment"](spark, str(tmp_path)).collect()
+    egot = {(r["contained"], r["container"]): r["containment"] for r in exact}
+    assert egot[(1, 2)] == 1.0
