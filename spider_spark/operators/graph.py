@@ -829,7 +829,15 @@ _G10_THRESH = 0.5
 
 _G10_ORACLE = f"""
 WITH {_GRAPH_CTES},
-out_nbrs AS (SELECT DISTINCT src, dst FROM edges0),
+out_all AS (SELECT DISTINCT src, dst FROM edges0),
+nh AS (SELECT count(*) AS h FROM hosts),
+hot AS (
+  SELECT dst FROM out_all, nh GROUP BY dst, h
+  HAVING count(*) > greatest(5.0, 0.5 * h)
+),
+out_nbrs AS (
+  SELECT * FROM out_all WHERE dst NOT IN (SELECT dst FROM hot)
+),
 sizes AS (SELECT src, count(*) AS deg FROM out_nbrs GROUP BY src),
 pairs AS (
   SELECT a.src AS host_x, b.src AS host_y, count(*) AS inter
@@ -864,15 +872,30 @@ def g10_mirror_hosts(spark, sf_dir: str):
 
     Scale shape (10^8 hosts): the pair join is keyed on the shared
     out-neighbor (candidate volume Σ deg(dst)² over the DISTINCT edge
-    set, never hosts²); a df-cap on ubiquitous dst hosts (the d2
-    discipline) applies at full scale, and the same sign-LSH banding
-    that de-quadraticizes d5 applies to the out-neighbor bit-vectors.
+    set, never hosts²), and the d2 df-cap is APPLIED, not just cited:
+    dsts linked by > max(5, 50% of hosts) are dropped before the join
+    (broadcast anti-join), with degrees computed on the capped set so
+    numerator and denominator agree. At full scale the same sign-LSH
+    banding that de-quadraticizes d5 applies to out-neighbor
+    bit-vectors.
     Intersections are integers; Jaccard is the 4-dp deterministic
     rational rounding shared with the dedup family."""
     from pyspark.sql import functions as F
 
-    hosts, _n_hosts, edges0 = _derived_graph(spark, sf_dir)
-    out_nbrs = edges0.select("src", "dst").distinct()
+    hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
+    out_all = edges0.select("src", "dst").distinct()
+    # d2's df-cap discipline on the join key: a dst linked by more than
+    # max(5, 50% of hosts) is ubiquitous (CDN/portal-grade) — it carries
+    # no mirror signal and would make its pair bucket quadratic. Sizes
+    # are computed AFTER the cap so inter and deg use the same set.
+    cap = max(5.0, 0.5 * n_hosts)
+    hot = (
+        out_all.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select("dst")
+    )
+    out_nbrs = out_all.join(F.broadcast(hot), "dst", "left_anti")
     sizes = out_nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     a = out_nbrs.alias("a")
     b = out_nbrs.alias("b")

@@ -123,10 +123,17 @@ def test_mirror_hosts_match_bruteforce(spark, sf_dir):
     ≥ 0.5, 4-dp floor-rounded."""
     from spider_spark.operators.graph import _derived_graph
 
-    hosts, _n, edges0 = _derived_graph(spark, sf_dir)
+    hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
     nbrs: dict[int, set] = {}
     for r in edges0.collect():
         nbrs.setdefault(r["src"], set()).add(r["dst"])
+    # mirror the implementation's df-cap on ubiquitous dst hosts
+    cap = max(5.0, 0.5 * n_hosts)
+    from collections import Counter
+
+    dst_df = Counter(d for s_ in nbrs.values() for d in s_)
+    hot = {d for d, c in dst_df.items() if c > cap}
+    nbrs = {s_: v - hot for s_, v in nbrs.items()}
     names = {r["host_id"]: r["source"] for r in hosts.collect()}
     expect = {}
     ids = sorted(nbrs)
