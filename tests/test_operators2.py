@@ -384,6 +384,8 @@ _BNLJ_WHITELIST = {
     "j5_tile_placement": 3,    # 1-row global min-corner aggregate
     "q11_important_parts": 1,  # 1-row global-total aggregate
     "q12_dormant_customers": 1,  # 1-row avg-balance threshold
+    "q21_sales_opportunity": 1,  # 1-row (sum, count) average gate
+    "w12_coverage_calendar": 1,  # |days|-row calendar from 1-row bounds
     "s6_tile_grid": 2,         # constant grid range enumeration
     "t22_mix_rebalance": 1,    # 1-row min-source target aggregate
     "t11_tfidf_topk": 1,       # 1-row corpus-size aggregate
