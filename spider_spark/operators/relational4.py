@@ -758,7 +758,7 @@ gate AS (
 )
 SELECT cntrycode,
        count(*) AS numcust,
-       sum(bal_cents) AS totacctbal_cents
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
 FROM pool, gate
 WHERE bal_cents * n > tot
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey)
