@@ -451,3 +451,32 @@ def list_files_by_mtime(
     df = spark.createDataFrame(rows, "path string, mtime double, size long")
     order = F.desc("mtime") if descending else F.asc("mtime")
     return df.orderBy(order, "path")
+
+
+def write_bucketed_store(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int,
+    key: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed + sorted by ``key`` — the open-source
+    materialization of the page store the crawl engine assumes
+    (`engine/crawler.py`: "an Iceberg table bucketed+sorted by url in
+    production"). Two stores bucketed by the same key with the same
+    bucket count join WITHOUT any Exchange: each task reads matching
+    bucket files from both sides, so the frontier-vs-page-store join —
+    the biggest join in a crawl round — never reshuffles the multi-TB
+    page side at 10^10-URL scale. ``saveAsTable`` with an explicit
+    ``path`` keeps the data external while registering bucket metadata
+    in the session catalog (plain ``.parquet()`` writes drop the
+    bucket spec; only catalog tables carry it)."""
+    (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )
