@@ -289,3 +289,24 @@ def test_containment_lsh_catches_verbatim_inclusion(spark, tmp_path):
     exact = QUERIES["d15_token_containment"](spark, str(tmp_path)).collect()
     egot = {(r["contained"], r["container"]): r["containment"] for r in exact}
     assert egot[(1, 2)] == 1.0
+
+
+def test_entropy_and_readability_bounded_on_long_doc(spark, tmp_path):
+    """The t8 lesson applied to the new explode-based ops: one 50k-token
+    document must complete in bounded time (the plans are explode +
+    map-side-combinable groupBy — linear, never per-row quadratic) and
+    entropy stays within [0, log2 N]."""
+    import time
+
+    long_text = " ".join(f"tok{i % 997}" for i in range(50_000))
+    _write_docs(spark, tmp_path, [(1, long_text + ".", "en", "h", 50_000)])
+    t0 = time.time()
+    ent = QUERIES["t38_token_entropy"](spark, str(tmp_path)).collect()[0]
+    fre = QUERIES["t39_readability"](spark, str(tmp_path)).collect()[0]
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"long-doc path took {elapsed:.1f}s"
+    assert ent["n_tokens"] == 50_000
+    assert 0.0 <= ent["entropy"] <= math.log2(50_000)
+    # 997 distinct tokens near-uniform → entropy just under log2(997)
+    assert abs(ent["entropy"] - math.log2(997)) < 0.01
+    assert fre["n_words"] == 50_000 and fre["n_sentences"] == 1
