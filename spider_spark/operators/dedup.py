@@ -450,18 +450,12 @@ def _jaccard_verify(cand, sh, a_name: str, b_name: str, thresh: float = 0.35):
     )
 
 
-@query("d3_minhash_lsh", _d3_oracle())
-def d3_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → 32-perm minhash signature (JVM
-    column math, no UDF — see minhash_signatures_df) → 8 bands of 4 →
-    band-bucket self-join for candidates → exact shingle-Jaccard verify
-    ≥ 0.35. The band join is the only shuffle; at 10^10 docs each band
-    bucket is tiny, so no quadratic blowup."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bands = _minhash_bands(minhash_signatures_df(d))
+def _band_candidates(bands):
+    """Band-bucket self-join → distinct undirected candidate pairs
+    (id_a < id_b) — the one corpus shuffle shared by d3 and d16."""
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -471,6 +465,38 @@ def d3_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+
+
+def _containment_verify(sized, thresh):
+    """Score BOTH directions of undirected (id_a, id_b, inter, na, nb)
+    rows as (contained, container, containment) at 4-dp rational
+    rounding — shared by d15 (exact pairs) and d16 (banded candidates)."""
+    fwd = sized.filter(
+        F.col("inter") * 1.0 / F.col("na") >= thresh
+    ).select(
+        F.col("id_a").alias("contained"),
+        F.col("id_b").alias("container"),
+        _jac4(F.col("inter"), F.col("na")).alias("containment"),
+    )
+    rev = sized.filter(
+        F.col("inter") * 1.0 / F.col("nb") >= thresh
+    ).select(
+        F.col("id_b").alias("contained"),
+        F.col("id_a").alias("container"),
+        _jac4(F.col("inter"), F.col("nb")).alias("containment"),
+    )
+    return fwd.unionAll(rev)
+
+
+@query("d3_minhash_lsh", _d3_oracle())
+def d3_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → 32-perm minhash signature (JVM
+    column math, no UDF — see minhash_signatures_df) → 8 bands of 4 →
+    band-bucket self-join for candidates → exact shingle-Jaccard verify
+    ≥ 0.35. The band join is the only shuffle; at 10^10 docs each band
+    bucket is tiny, so no quadratic blowup."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = _band_candidates(_minhash_bands(minhash_signatures_df(d)))
     return _jaccard_verify(cand, _shingle_sets(d), "id_a", "id_b")
 
 
@@ -1556,21 +1582,7 @@ def d15_token_containment(spark, sf_dir):
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
     sized = pairs.join(sa, "id_a").join(sb, "id_b")
-    fwd = sized.filter(
-        F.col("inter") * 1.0 / F.col("na") >= _D15_THRESH
-    ).select(
-        F.col("id_a").alias("contained"),
-        F.col("id_b").alias("container"),
-        _jac4(F.col("inter"), F.col("na")).alias("containment"),
-    )
-    rev = sized.filter(
-        F.col("inter") * 1.0 / F.col("nb") >= _D15_THRESH
-    ).select(
-        F.col("id_b").alias("contained"),
-        F.col("id_a").alias("container"),
-        _jac4(F.col("inter"), F.col("nb")).alias("containment"),
-    )
-    return fwd.unionAll(rev)
+    return _containment_verify(sized, _D15_THRESH)
 
 
 # ---------------------------------------------------------------------------
@@ -1599,19 +1611,7 @@ def d16_containment_lsh(spark, sf_dir):
     shingle grain containment ≈ verbatim-span inclusion, which is the
     signal ExactSubstr-style dedup wants."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bands = _minhash_bands(minhash_signatures_df(d))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cand = _band_candidates(_minhash_bands(minhash_signatures_df(d)))
     sh = _shingle_sets(d)
     sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -1626,18 +1626,4 @@ def d16_containment_lsh(spark, sf_dir):
             F.size("sh_b").alias("nb"),
         )
     )
-    fwd = sized.filter(
-        F.col("inter") * 1.0 / F.col("na") >= _D16_THRESH
-    ).select(
-        F.col("id_a").alias("contained"),
-        F.col("id_b").alias("container"),
-        _jac4(F.col("inter"), F.col("na")).alias("containment"),
-    )
-    rev = sized.filter(
-        F.col("inter") * 1.0 / F.col("nb") >= _D16_THRESH
-    ).select(
-        F.col("id_b").alias("contained"),
-        F.col("id_a").alias("container"),
-        _jac4(F.col("inter"), F.col("nb")).alias("containment"),
-    )
-    return fwd.unionAll(rev)
+    return _containment_verify(sized, _D16_THRESH)

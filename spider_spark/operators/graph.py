@@ -792,6 +792,8 @@ def g9_reciprocal_links(spark, sf_dir: str):
     pairs; this shape touches each edge exactly once."""
     from pyspark.sql import functions as F
 
+    from spider_spark.operators.dedup import _jac4
+
     hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
     pairs = (
         edges0.filter(F.col("src") != F.col("dst"))
@@ -830,9 +832,8 @@ _G10_THRESH = 0.5
 _G10_ORACLE = f"""
 WITH {_GRAPH_CTES},
 out_all AS (SELECT DISTINCT src, dst FROM edges0),
-nh AS (SELECT count(*) AS h FROM hosts),
 hot AS (
-  SELECT dst FROM out_all, nh GROUP BY dst, h
+  SELECT dst FROM out_all, hn GROUP BY dst, h
   HAVING count(*) > greatest(5.0, 0.5 * h)
 ),
 out_nbrs AS (
@@ -882,6 +883,8 @@ def g10_mirror_hosts(spark, sf_dir: str):
     rational rounding shared with the dedup family."""
     from pyspark.sql import functions as F
 
+    from spider_spark.operators.dedup import _jac4
+
     hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
     out_all = edges0.select("src", "dst").distinct()
     # d2's df-cap discipline on the join key: a dst linked by more than
@@ -912,7 +915,7 @@ def g10_mirror_hosts(spark, sf_dir: str):
     sy = sizes.select(F.col("src").alias("host_y"), F.col("deg").alias("dy"))
     scored = pairs.join(sx, "host_x").join(sy, "host_y")
     union = F.col("dx") + F.col("dy") - F.col("inter")
-    jac4 = F.floor(F.col("inter") * 10000.0 / union + F.lit(0.5)) / 10000.0
+    jac4 = _jac4(F.col("inter"), union)
     hx = hosts.select(
         F.col("host_id").alias("host_x"), F.col("source").alias("host_a")
     )

@@ -598,8 +598,10 @@ def e6_event_transitions(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    from spider_spark.operators.dedup import _jac4
+
     tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
-    p4 = F.floor(F.col("n") * 10000.0 / F.col("row_n") + F.lit(0.5)) / 10000.0
+    p4 = _jac4(F.col("n"), F.col("row_n"))
     return trans.join(F.broadcast(tot), "prev_type").select(
         "prev_type", "next_type", "n", p4.alias("p")
     )
@@ -621,7 +623,8 @@ WITH ordered AS (
 ),
 paths AS (
   SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path, count(*) AS n
-  FROM ordered WHERE p2 IS NOT NULL
+  FROM ordered
+  WHERE p2 IS NOT NULL AND p1 IS NOT NULL AND event_type IS NOT NULL
   GROUP BY 1
 ),
 ranked AS (
@@ -654,7 +657,11 @@ def e7_top_paths(spark, sf_dir):
         F.lag("event_type", 1).over(w).alias("p1"),
     )
     paths = (
-        ordered.filter(F.col("p2").isNotNull())
+        ordered.filter(
+            F.col("p2").isNotNull()
+            & F.col("p1").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select(
             F.concat_ws(" > ", "p2", "p1", "event_type").alias("path")
         )

@@ -63,11 +63,15 @@ def test_q21_gate_is_strict_and_anti_joined(spark, tmp_path):
     """Planted Q22 fixture: the average gate uses exact integer
     cross-multiplication (a customer exactly AT the average is excluded)
     and customers with any order are excluded however rich."""
-    # nationkey 1 → cntrycode 1. Balances: 10.00, 20.00, 30.00 → avg 20.00.
+    # nationkey 1 → cntrycode 1. Positive-balance gate pool is ALL four
+    # positive balances (orders don't exclude from the average):
+    # (5 + 25 + 40 + 30) / 4 = 25.00 — so customer 2 sits EXACTLY at the
+    # average and a '>' → '>=' regression in the cross-multiplied gate
+    # would add it to the answer.
     cust = [
-        (1, "c1", 1, 10.0, "A"),  # below avg
-        (2, "c2", 1, 20.0, "A"),  # exactly avg → excluded (strict >)
-        (3, "c3", 1, 30.0, "A"),  # above avg, no orders → counted
+        (1, "c1", 1, 5.0, "A"),   # below avg
+        (2, "c2", 1, 25.0, "A"),  # exactly avg → excluded (strict >)
+        (3, "c3", 1, 40.0, "A"),  # above avg, no orders → counted
         (4, "c4", 1, 30.0, "A"),  # above avg but HAS an order → excluded
     ]
     spark.createDataFrame(
@@ -83,7 +87,7 @@ def test_q21_gate_is_strict_and_anti_joined(spark, tmp_path):
     rows = QUERIES["q21_sales_opportunity"](spark, str(tmp_path)).collect()
     assert len(rows) == 1
     r = rows[0]
-    assert (r["cntrycode"], r["numcust"], r["totacctbal_cents"]) == (1, 1, 3000)
+    assert (r["cntrycode"], r["numcust"], r["totacctbal_cents"]) == (1, 1, 4000)
 
 
 def test_url_templates_collapse_digits(spark, sf_dir):
@@ -268,9 +272,11 @@ def test_coverage_calendar_zero_fills_gap_days(spark, tmp_path):
 
 def test_containment_lsh_catches_verbatim_inclusion(spark, tmp_path):
     """A document fully embedded verbatim in a larger one shares ALL its
-    shingles → identical minhash contributions guarantee a band
-    collision, and the exact verify reports containment 1.0 from the
-    small side; d15 (exact path) agrees on the same fixture."""
+    shingles, so every band's minhash agrees unless one of the few extra
+    boundary shingles happens to claim a permutation minimum — at this
+    fixture's 60-shared / 5-extra ratio a collision is near-certain and,
+    the fixture being fixed, deterministic. The exact verify reports
+    containment 1.0 from the small side; d15 (exact path) agrees."""
     small = " ".join(f"w{i}" for i in range(60))
     big = small + " " + " ".join(f"x{i}" for i in range(5))
     _write_docs(
