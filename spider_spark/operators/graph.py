@@ -24,17 +24,26 @@ alone. Dangling mass (hosts with no out-edges) is dropped by definition —
 the same convention on both engines — so ranks are a relative ordering,
 not a probability distribution.
 
-Scale shape (100 TB): ``hosts``/``ranks`` are |domains|-sized (millions of
-rows, ~16 bytes each — broadcastable), so each iteration is a broadcast
-hash join of ranks onto the edge table plus ONE map-side-combinable SUM
-shuffle keyed on ``dst``. The edge table itself is computed once; the
-host-id assignment via a global ``row_number`` window is a single-task
-step over the *distinct-host* table only (never the documents table) —
-fine at domain cardinality, and swappable for ``zipWithIndex`` if hosts
-ever outgrow one task.
+Scale shape (100 TB): score vectors (ranks / trust / hub / auth) are
+|hosts|-sized. At 10^6 hosts that is broadcastable and each iteration is a
+broadcast hash join of scores onto the edge table plus ONE map-side-
+combinable SUM shuffle keyed on ``dst``. At Common-Crawl cardinality
+(10^8–10^9 hosts) a score table is tens of GB — over Spark's broadcast
+ceiling — so above ``_BCAST_HOSTS_MAX`` every iterative op here switches to
+the standard Pregel layout: the edge table is hash-partitioned on its join
+key ONCE and pinned (``localCheckpoint`` preserves ``outputPartitioning``),
+the score vector stays hash-partitioned on ``host_id`` across iterations,
+and each step is a co-partitioned shuffled-hash join — the only
+per-iteration exchange is the SUM keyed on the opposite endpoint (the
+score exchange); the edge table never moves again. The same gate covers
+host-id assignment and the final ranking: both use a two-phase
+range-partition + driver prefix-sum (the ``assign_global_seq`` shape from
+``engine/crawler.py:84``) instead of a single-partition global window.
 """
 
 from __future__ import annotations
+
+import os
 
 from spider_spark.operators import load, query
 from spider_spark.operators.sqlmurmur import hashlong_aliases
@@ -42,6 +51,107 @@ from spider_spark.operators.sqlmurmur import hashlong_aliases
 _SCALE = 10**12
 _DAMP_NUM, _DAMP_DEN = 85, 100
 _ITERS = 5
+
+# Above this host cardinality the |hosts|-sized score/degree tables stop
+# being broadcastable (10^8-10^9 hosts × ~16 B ≈ tens of GB — over Spark's
+# 8 GB broadcast hard cap and any sane driver heap) and every g-op flips to
+# the co-partitioned Pregel layout. Env-overridable so tests exercise the
+# at-scale plan shape on fixture data; the same gate style as the crawl
+# engine's fetch-mode switch (engine/crawler.py).
+_BCAST_HOSTS_MAX = int(
+    os.environ.get("SPIDER_GRAPH_BCAST_MAX_HOSTS", "2000000")
+)
+
+
+def _maybe_broadcast(df, n_rows: int):
+    """Broadcast hint only while the relation provably fits: ``n_rows`` is
+    an already-computed exact count (never an estimate). Above the gate the
+    join is left to shuffle — Catalyst/AQE may still pick a broadcast at
+    runtime if actual bytes are small, but nothing FORCES a tens-of-GB
+    broadcast the way an unconditional hint would."""
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if n_rows <= _BCAST_HOSTS_MAX else df
+
+
+def _shuffle_parts(spark) -> int:
+    return max(1, int(spark.conf.get("spark.sql.shuffle.partitions") or "32"))
+
+
+def _two_phase_order_index(df, order_col: str, out_col: str, start: int = 0,
+                           descending: bool = False):
+    """``row_number() - 1 + start`` over the total order of ``order_col``
+    WITHOUT a single-partition window (the "No Partition Defined For Window
+    Operation" shape that sorts the world in one task at 10^8 hosts).
+
+    Two-phase, same as ``engine.crawler.assign_global_seq``
+    (crawler.py:84): range-partition on the key, prefix-sum the
+    per-partition counts on the driver (an O(partitions) collect), then add
+    each partition's offset map-side. The input is expected distinct on
+    ``order_col`` (callers pass distinct-host / distinct-score tables), so
+    the assigned index is also the dense rank. The pid-stamped input is
+    local-checkpointed BEFORE the count collect: RangePartitioner samples
+    with an RDD-id-seeded reservoir, so an un-pinned plan could re-sample
+    different boundaries between the collect and the final mapInPandas.
+
+    Returns ``(indexed_df, total_count)``.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_parts = _shuffle_parts(spark)
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    d = (
+        df.repartitionByRange(n_parts, key)
+        .sortWithinPartitions(key)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    cols = [f.name for f in df.schema.fields]
+    schema = T.StructType(
+        [f for f in d.schema.fields if f.name != "_pid"]
+        + [T.StructField(out_col, T.LongType())]
+    )
+
+    def _gen(batches):
+        nxt = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if nxt is None:
+                nxt = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf[cols].copy()
+            out[out_col] = pd.array(range(nxt, nxt + len(pdf)), dtype="int64")
+            nxt += len(pdf)
+            yield out
+
+    return d.mapInPandas(_gen, schema=schema), acc - start
+
+
+def _dense_rank_desc(df, col: str, out_col: str):
+    """Exact ``DENSE_RANK() OVER (ORDER BY col DESC)`` at scale: rank the
+    DISTINCT value table via the two-phase index (ties collapse in the
+    distinct, so index == dense rank), then join the rank back on the
+    value. The rank table is |distinct values|-sized and broadcast while
+    its exact count clears the gate (the common case — fixed-point scores
+    collide heavily); past the gate it falls back to a shuffle join on the
+    value key, where AQE's skew-join splitting absorbs a heavily-tied
+    score (e.g. trust = 0 for most unreachable hosts)."""
+    ranked, n = _two_phase_order_index(
+        df.select(col).distinct(), col, out_col, start=1, descending=True
+    )
+    return df.join(_maybe_broadcast(ranked, n), col)
 
 # Shared derived-graph CTEs: dense host ids + one edge per document
 # (dst = pmod(Spark hash(doc_id), |hosts|)), used by every g* oracle.
@@ -62,25 +172,24 @@ edges0 AS (
 
 
 def _derived_graph(spark, sf_dir: str):
-    """(hosts, edges0) — dense host ids and the per-document edge multiset,
-    the Spark twin of ``_GRAPH_CTES``. The row_number window runs over the
-    distinct-host table only (domain cardinality), never the documents."""
-    from pyspark.sql import Window
+    """(hosts, n_hosts, edges0) — dense host ids and the per-document edge
+    multiset, the Spark twin of ``_GRAPH_CTES``. Host ids come from the
+    two-phase order index over the distinct-host table (domain cardinality,
+    never the documents), so no single-partition window exists at any host
+    count; the id values are identical to ``row_number() OVER (ORDER BY
+    source) - 1``, which is what the oracle CTE computes. The hosts→
+    documents join is broadcast only below the host-count gate."""
     from pyspark.sql import functions as F
 
     d = load(spark, sf_dir, "documents")
-    w = Window.orderBy("source")
-    hosts = (
-        d.select("source")
-        .distinct()
-        .select("source", (F.row_number().over(w) - 1).alias("host_id"))
+    hosts, n_hosts = _two_phase_order_index(
+        d.select("source").distinct(), "source", "host_id", start=0
     )
-    n_hosts = hosts.count()
     edges0 = (
-        d.join(F.broadcast(hosts), "source")
+        d.join(_maybe_broadcast(hosts, n_hosts), "source")
         .select(
             F.col("host_id").alias("src"),
-            F.pmod(F.hash("doc_id"), F.lit(n_hosts)).alias("dst"),
+            F.pmod(F.hash("doc_id"), F.lit(n_hosts)).cast("long").alias("dst"),
         )
     )
     return hosts, n_hosts, edges0
@@ -117,28 +226,55 @@ FROM r{_ITERS} r JOIN hosts hs ON hs.host_id = r.host_id
 
 @query("g1_host_pagerank", _oracle())
 def g1_host_pagerank(spark, sf_dir: str):
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     hosts, n_hosts, edges = _derived_graph(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Lazily returned, so no persist here: each iteration re-derives the
-    # (column-pruned) edge subtree. In a materialized production run you
-    # would .persist() edges once before the loop.
-    edges = edges.join(F.broadcast(deg), "src")
+    big = n_hosts > _BCAST_HOSTS_MAX
+    if big:
+        # Pregel layout (see module docstring): edges+deg joined and
+        # hash-partitioned on src ONCE, pinned by persist() — a cached
+        # plan KEEPS its outputPartitioning (canChangeCachedPlanOutput-
+        # Partitioning defaults false), so no per-iteration edge
+        # Exchange; localCheckpoint would lose the partitioning behind a
+        # Scan ExistingRDD and re-shuffle edges every iteration (measured
+        # — that's why persist, not checkpoint). No score broadcast:
+        # shuffle_hash hints keep Catalyst from statically re-planning a
+        # broadcast off the cache's (small at fixture scale) size stats,
+        # and build the per-partition hash map on the |hosts|-sized side.
+        # The persists deliberately outlive the returned (lazy) plan; a
+        # materialized production run unpersists after the loop.
+        P = _shuffle_parts(spark)
+        edges = edges.join(deg.hint("shuffle_hash"), "src").repartition(
+            P, "src"
+        ).persist()
+        edges.count()
+        host_ids = hosts.select("host_id").repartition(P, "host_id").persist()
+        host_ids.count()
+    else:
+        # Lazily returned, so no persist here: each iteration re-derives
+        # the (column-pruned) edge subtree. In a materialized production
+        # run you would .persist() edges once before the loop.
+        edges = edges.join(F.broadcast(deg), "src")
+        host_ids = hosts.select("host_id")
 
     base = ((_DAMP_DEN - _DAMP_NUM) * _SCALE) // (_DAMP_DEN * n_hosts)
-    ranks = hosts.select("host_id", F.lit(_SCALE // n_hosts).alias("pr"))
+    ranks = host_ids.select("host_id", F.lit(_SCALE // n_hosts).alias("pr"))
     for _ in range(_ITERS):
+        r = ranks.hint("shuffle_hash") if big else F.broadcast(ranks)
         incoming = (
-            edges.join(F.broadcast(ranks), edges["src"] == ranks["host_id"])
+            edges.join(r, edges["src"] == r["host_id"])
             .select(edges["dst"].alias("host_id"), F.expr("pr div deg").alias("c"))
             .groupBy("host_id")
             .agg(F.sum("c").alias("inc"))
         )
+        # big mode: host_ids is cached hash(host_id, P) and incoming comes
+        # out of the aggregate already hash(host_id, P) — the left join is
+        # co-partitioned, zero exchange; the groupBy above is the ONE
+        # score exchange of the iteration.
+        inc = incoming.hint("shuffle_hash") if big else incoming
         ranks = (
-            hosts.select("host_id")
-            .join(incoming, "host_id", "left")
+            host_ids.join(inc, "host_id", "left")
             .select(
                 "host_id",
                 (
@@ -148,15 +284,10 @@ def g1_host_pagerank(spark, sf_dir: str):
             )
         )
 
-    out = (
-        ranks.join(F.broadcast(hosts), "host_id")
-        .select(
-            "source",
-            "pr",
-            F.dense_rank().over(Window.orderBy(F.desc("pr"))).alias("rk"),
-        )
+    out = ranks.join(_maybe_broadcast(hosts, n_hosts), "host_id").select(
+        "source", "pr"
     )
-    return out
+    return _dense_rank_desc(out, "pr", "rk").select("source", "pr", "rk")
 
 
 _G2_ORACLE = f"""
@@ -208,7 +339,7 @@ def g2_triangle_count(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+    hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
 
     und = (
         edges0.where(F.col("src") != F.col("dst"))
@@ -227,8 +358,8 @@ def g2_triangle_count(spark, sf_dir: str):
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     o = (
-        und.join(F.broadcast(deg).select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(F.broadcast(deg).select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        und.join(_maybe_broadcast(deg, n_hosts).select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(_maybe_broadcast(deg, n_hosts).select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
         .select(
             F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
@@ -298,7 +429,7 @@ def g3_host_components(spark, sf_dir: str):
 
     from spider_spark.operators.dedup import connected_components
 
-    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+    hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
     e = (
         edges0.where(F.col("src") != F.col("dst"))
         .select(
@@ -376,20 +507,53 @@ def g4_hits(spark, sf_dir: str):
     Hosts with no in-links (auth) or out-links (hub) score 0 via the
     LEFT JOIN + COALESCE, same convention both sides.
 
-    Scale shape: scores are |hosts|-sized and broadcast; the edge table
-    is the only big operand and is never re-shuffled — each half-step is
-    a broadcast hash join + one aggregate exchange keyed on a host id.
+    Scale shape: below the host-count gate, scores are |hosts|-sized and
+    broadcast; the edge table is the only big operand and is never
+    re-shuffled — each half-step is a broadcast hash join + one aggregate
+    exchange keyed on a host id. Above the gate (10^8+ hosts — a score
+    broadcast would be tens of GB per half-step), the Pregel layout: TWO
+    pinned copies of the edge multiset, hash-partitioned on src and on dst
+    (HITS alternates join sides, so co-partitioning needs both), the score
+    vector kept hash-partitioned on host_id, every join a co-partitioned
+    shuffled-hash join, and the normalization total collected as a scalar
+    off the checkpointed raw vector (one O(1)-row job per half-step — the
+    standard Pregel aggregator) instead of a 1-row broadcast cross join.
     """
     from pyspark.sql import functions as F
 
-    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+    hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
+    big = n_hosts > _BCAST_HOSTS_MAX
     edges0 = edges0.localCheckpoint(eager=True)
+    if big:
+        P = _shuffle_parts(spark)
+        e_src = edges0.repartition(P, "src").persist()
+        e_dst = edges0.repartition(P, "dst").persist()
+        host_ids = hosts.select("host_id").repartition(P, "host_id").persist()
+        for d_ in (e_src, e_dst, host_ids):
+            d_.count()
+    else:
+        e_src = e_dst = edges0
+        host_ids = hosts.select("host_id")
 
     def _normalize(raw, col):
         # materialize the |hosts|-sized raw vector before it is referenced
         # three times (total agg, broadcast join, and the next half-step):
         # without this each half-step re-embeds the prior subtree 3x and
         # the plan tree grows 3^(2·iters) — ~100 join nodes by iteration 3
+        if big:
+            raw = raw.persist()
+            t = raw.agg(F.sum("raw").cast("long").alias("t")).collect()[0]["t"]
+            denom = None if t is None else t // _HITS_SCALE
+            # denom 0/None → small mode's `div nullif(..., 0)` nulls out
+            # and coalesces to 0 for every host — same literal here
+            scored = (
+                F.coalesce(F.expr(f"raw div {denom}L"), F.lit(0).cast("long"))
+                if denom
+                else F.lit(0).cast("long")
+            )
+            return host_ids.join(
+                raw.hint("shuffle_hash"), "host_id", "left"
+            ).select("host_id", scored.alias(col))
         raw = raw.localCheckpoint(eager=True)
         tot = raw.agg(F.sum("raw").cast("long").alias("t"))
         return (
@@ -405,25 +569,29 @@ def g4_hits(spark, sf_dir: str):
             )
         )
 
-    hub = hosts.select("host_id", F.lit(_HITS_SCALE).cast("long").alias("hub"))
+    hub = host_ids.select(
+        "host_id", F.lit(_HITS_SCALE).cast("long").alias("hub")
+    )
     auth = None
     for _ in range(_HITS_ITERS):
+        h = hub.hint("shuffle_hash") if big else F.broadcast(hub)
         araw = (
-            edges0.join(F.broadcast(hub), edges0["src"] == hub["host_id"])
-            .groupBy(edges0["dst"].alias("host_id"))
+            e_src.join(h, e_src["src"] == h["host_id"])
+            .groupBy(e_src["dst"].alias("host_id"))
             .agg(F.sum("hub").cast("long").alias("raw"))
         )
         auth = _normalize(araw, "auth")
+        a = auth.hint("shuffle_hash") if big else F.broadcast(auth)
         hraw = (
-            edges0.join(F.broadcast(auth), edges0["dst"] == auth["host_id"])
-            .groupBy(edges0["src"].alias("host_id"))
+            e_dst.join(a, e_dst["dst"] == a["host_id"])
+            .groupBy(e_dst["src"].alias("host_id"))
             .agg(F.sum("auth").cast("long").alias("raw"))
         )
         hub = _normalize(hraw, "hub")
 
     return (
-        hosts.join(F.broadcast(auth), "host_id")
-        .join(F.broadcast(hub), "host_id")
+        hosts.join(_maybe_broadcast(auth, n_hosts), "host_id")
+        .join(_maybe_broadcast(hub, n_hosts), "host_id")
         .select("source", "auth", "hub")
     )
 
@@ -464,7 +632,7 @@ def g5_host_degrees(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    hosts, _, edges0 = _derived_graph(spark, sf_dir)
+    hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
     outd = edges0.groupBy(F.col("src").alias("host_id")).agg(
         F.count(F.lit(1)).alias("out_deg"),
         F.countDistinct("dst").alias("out_distinct"),
@@ -474,8 +642,8 @@ def g5_host_degrees(spark, sf_dir: str):
         F.countDistinct("src").alias("in_distinct"),
     )
     return (
-        hosts.join(F.broadcast(outd), "host_id", "left")
-        .join(F.broadcast(ind), "host_id", "left")
+        hosts.join(_maybe_broadcast(outd, n_hosts), "host_id", "left")
+        .join(_maybe_broadcast(ind, n_hosts), "host_id", "left")
         .select(
             "source",
             F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
@@ -625,7 +793,7 @@ def g7_anchor_topk(spark, sf_dir):
     return (
         agg.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _G7_TOPK)
-        .join(F.broadcast(hosts), F.col("dst") == F.col("host_id"))
+        .join(_maybe_broadcast(hosts, n_hosts), F.col("dst") == F.col("host_id"))
         .select(F.col("source").alias("host"), "anchor", "cnt", "rk")
     )
 
@@ -688,16 +856,29 @@ def g8_trustrank(spark, sf_dir: str):
 
     Same fixed-point bigint discipline as g1 (SCALE 10^12, floor division,
     {_ITERS} iterations, damping 85/100): order-invariant integer sums →
-    bit-identical Spark ⇄ DuckDB. Scale shape is g1's: per iteration ONE
-    broadcast join of the |hosts|-sized trust table onto edges + one
-    map-side-combinable SUM keyed on dst; the only new term (the seed
-    indicator) is row-local arithmetic on host_id."""
-    from pyspark.sql import Window
+    bit-identical Spark ⇄ DuckDB. Scale shape is g1's, including the
+    host-count gate: broadcast the trust vector below it, co-partitioned
+    pinned-edges Pregel joins above it (one score exchange per iteration);
+    the only new term (the seed indicator) is row-local arithmetic on
+    host_id."""
     from pyspark.sql import functions as F
 
     hosts, n_hosts, edges = _derived_graph(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges = edges.join(F.broadcast(deg), "src")
+    big = n_hosts > _BCAST_HOSTS_MAX
+    if big:
+        # same Pregel layout as g1 (persist pins the partitioning that
+        # localCheckpoint would lose) — see g1_host_pagerank
+        P = _shuffle_parts(spark)
+        edges = edges.join(deg.hint("shuffle_hash"), "src").repartition(
+            P, "src"
+        ).persist()
+        edges.count()
+        host_ids = hosts.select("host_id").repartition(P, "host_id").persist()
+        host_ids.count()
+    else:
+        edges = edges.join(F.broadcast(deg), "src")
+        host_ids = hosts.select("host_id")
 
     n_seeds = (n_hosts + _G8_SEED_MOD - 1) // _G8_SEED_MOD
     seed = F.col("host_id") % _G8_SEED_MOD == 0
@@ -711,7 +892,7 @@ def g8_trustrank(spark, sf_dir: str):
         .otherwise(F.lit(0))
         .cast("long")
     )
-    trust = hosts.select(
+    trust = host_ids.select(
         "host_id",
         F.when(seed, F.lit(_SCALE // n_seeds))
         .otherwise(F.lit(0))
@@ -719,8 +900,9 @@ def g8_trustrank(spark, sf_dir: str):
         .alias("trust"),
     )
     for _ in range(_ITERS):
+        t = trust.hint("shuffle_hash") if big else F.broadcast(trust)
         incoming = (
-            edges.join(F.broadcast(trust), edges["src"] == trust["host_id"])
+            edges.join(t, edges["src"] == t["host_id"])
             .select(
                 edges["dst"].alias("host_id"),
                 F.expr("trust div deg").alias("c"),
@@ -728,9 +910,9 @@ def g8_trustrank(spark, sf_dir: str):
             .groupBy("host_id")
             .agg(F.sum("c").alias("inc"))
         )
+        inc = incoming.hint("shuffle_hash") if big else incoming
         trust = (
-            hosts.select("host_id")
-            .join(incoming, "host_id", "left")
+            host_ids.join(inc, "host_id", "left")
             .select(
                 "host_id",
                 (
@@ -742,14 +924,11 @@ def g8_trustrank(spark, sf_dir: str):
             )
         )
 
-    return (
-        trust.join(F.broadcast(hosts), "host_id")
-        .select(
-            "source",
-            "trust",
-            seed.alias("is_seed"),
-            F.dense_rank().over(Window.orderBy(F.desc("trust"))).alias("rk"),
-        )
+    out = trust.join(_maybe_broadcast(hosts, n_hosts), "host_id").select(
+        "source", "trust", seed.alias("is_seed")
+    )
+    return _dense_rank_desc(out, "trust", "rk").select(
+        "source", "trust", "is_seed", "rk"
     )
 
 
@@ -792,8 +971,6 @@ def g9_reciprocal_links(spark, sf_dir: str):
     pairs; this shape touches each edge exactly once."""
     from pyspark.sql import functions as F
 
-    from spider_spark.operators.dedup import _jac4
-
     hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
     pairs = (
         edges0.filter(F.col("src") != F.col("dst"))
@@ -817,8 +994,8 @@ def g9_reciprocal_links(spark, sf_dir: str):
         F.col("host_id").alias("b"), F.col("source").alias("host_b")
     )
     return (
-        pairs.join(F.broadcast(ha), "a")
-        .join(F.broadcast(hb), "b")
+        pairs.join(_maybe_broadcast(ha, n_hosts), "a")
+        .join(_maybe_broadcast(hb, n_hosts), "b")
         .select("host_a", "host_b", "n_fwd", "n_rev")
     )
 
@@ -924,7 +1101,7 @@ def g10_mirror_hosts(spark, sf_dir: str):
     )
     return (
         scored.filter(F.col("inter") * 1.0 / union >= _G10_THRESH)
-        .join(F.broadcast(hx), "host_x")
-        .join(F.broadcast(hy), "host_y")
+        .join(_maybe_broadcast(hx, n_hosts), "host_x")
+        .join(_maybe_broadcast(hy, n_hosts), "host_y")
         .select("host_a", "host_b", jac4.alias("jaccard"))
     )
