@@ -8,8 +8,10 @@ per-scanline byte filters (spec: PNG ISO/IEC 15948 §9), so decode is
 ``zlib.decompress`` plus a filter-undo pass — all standard library.
 
 Coverage: 8-bit greyscale (color type 0), RGB (2), palette (3), grey+alpha
-(4), RGBA (6); filters 0-4; non-interlaced only (Adam7 raises). The
-encoder writes filter-0 scanlines, enough for fixtures and tile sinks.
+(4), RGBA (6); filters 0-4; both non-interlaced and Adam7-interlaced
+(spec §8.2: seven sub-image passes, each filtered independently, scattered
+back on the 8×8 pattern grid). The encoder writes non-interlaced filter-0
+scanlines, enough for fixtures and tile sinks.
 """
 
 from __future__ import annotations
@@ -21,6 +23,17 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -64,6 +77,27 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _deinterlace(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Adam7: the decompressed stream is seven concatenated sub-images,
+    each with its own per-scanline filters (undone per pass — filters
+    never cross pass boundaries), scattered back on the pass grid."""
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p <= 0 or h_p <= 0:
+            continue
+        stride = w_p * channels
+        seg = (stride + 1) * h_p
+        sub = _unfilter(raw[pos : pos + seg], h_p, stride, channels)
+        pos += seg
+        out[y0:height:dy, x0:width:dx, :] = sub.reshape(h_p, w_p, channels)
+    if pos != len(raw):
+        raise ValueError("PNG interlaced data has wrong length")
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array: (h, w) for greyscale, (h, w, c) otherwise."""
     if data[:8] != _SIG:
@@ -91,16 +125,21 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if bit_depth != 8:
         raise ValueError(f"only 8-bit PNG supported, got depth {bit_depth}")
-    if interlace:
-        raise ValueError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = _CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported color type {color_type}")
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG scanline data has wrong length")
-    img = _unfilter(raw, height, stride, channels)
+    if interlace == 1:
+        img = _deinterlace(raw, width, height, channels).reshape(
+            height, width * channels
+        )
+    else:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG scanline data has wrong length")
+        img = _unfilter(raw, height, stride, channels)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")

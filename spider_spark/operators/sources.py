@@ -289,6 +289,7 @@ def write_gtiff_mosaic(
     resolution: float,
     tilesize: int = 256,
     level: int | None = None,
+    overview_levels: tuple[int, ...] | None = None,
 ) -> dict:
     """S15 — georeferenced TIFF mosaic sink over ``write_binary_tiles``
     output (/root/reference/merge_tiles.py:66-129: per-tile WriteRaster
@@ -302,13 +303,21 @@ def write_gtiff_mosaic(
     stdlib codec, and composes the strip). The driver only streams the
     ordered strips to disk — it never holds the canvas, so mosaic size is
     bounded by one strip (width·tilesize·channels), not width·height.
-    GDAL-only niceties the reference adds (LZW, BIGTIFF, overview
-    pyramids) are intentionally not replicated; the geo placement — what
-    the tests assert — is.
+    ``overview_levels`` appends a block-mean reduced-resolution pyramid
+    (chained IFDs, NewSubfileType=1) after the base write — the stdlib
+    counterpart of the reference's ``BuildOverviews`` post-pass
+    (/root/reference/merge_tiles.py:124-129); see
+    :func:`spider_spark.operators.tiff.append_overviews`. The remaining
+    GDAL-only niceties (LZW, BIGTIFF) are intentionally not replicated;
+    the geo placement — what the tests assert — is.
 
     Returns the placement dict (canvas size + GCPs) for the caller."""
     from spider_spark.operators.png import decode_png
-    from spider_spark.operators.tiff import tile_rows_to_strips, write_baseline_tiff
+    from spider_spark.operators.tiff import (
+        append_overviews,
+        tile_rows_to_strips,
+        write_baseline_tiff,
+    )
 
     tiles = spark.read.parquet(tiles_path)
     if level is not None:
@@ -367,54 +376,9 @@ def write_gtiff_mosaic(
             for (gx, gy), (px, ln) in place["gcps"]
         ],
     )
+    if overview_levels:
+        append_overviews(out_path, overview_levels)
     return place
-
-    import os as _os  # pragma: no cover - needs GDAL to reach
-
-    import pyarrow.dataset as pa_ds  # pragma: no cover - needs GDAL to reach
-
-    place = mosaic_placement(
-        *_tile_extent(spark, tiles_path), bounds, origin, resolution, tilesize
-    )
-    tmp_path = out_path + ".tmp"
-    drv = gdal.GetDriverByName("GTiff")
-    ds = drv.Create(tmp_path, place["width_px"], place["height_px"], 3,
-                    gdal.GDT_Int16)
-    for batch in pa_ds.dataset(tiles_path, format="parquet").to_batches():
-        for row, col, png in zip(
-            batch.column("row").to_pylist(),
-            batch.column("col").to_pylist(),
-            batch.column("png").to_pylist(),
-        ):
-            px, py = place["offset"](row, col)
-            mem = f"/vsimem/tile_{row}_{col}.png"
-            gdal.FileFromMemBuffer(mem, bytes(png))
-            tile = gdal.Open(mem)
-            try:
-                for b in (1, 2, 3):
-                    ds.GetRasterBand(b).WriteRaster(
-                        px, py, tilesize, tilesize,
-                        tile.GetRasterBand(b).ReadRaster(
-                            0, 0, tilesize, tilesize
-                        ),
-                    )
-            finally:
-                tile = None
-                gdal.Unlink(mem)
-    ds.FlushCache()
-    gcps = [gdal.GCP(gx, gy, 0, px, py) for (gx, gy), (px, py) in place["gcps"]]
-    gdal.Translate(
-        out_path, ds,
-        options=gdal.TranslateOptions(
-            format="GTiff", creationOptions=["BIGTIFF=YES", "COMPRESS=LZW"],
-            GCPs=gcps,
-        ),
-    )
-    ds = None  # close before deleting the temp canvas
-    _os.remove(tmp_path)
-    out = gdal.OpenEx(out_path, gdal.OF_RASTER | gdal.OF_READONLY)
-    out.BuildOverviews("nearest", list(range(2, 16, 2)))
-    out = None
 
 
 def _tile_extent(spark: SparkSession, tiles_path: str):
@@ -471,7 +435,17 @@ def write_bucketed_store(
     page side at 10^10-URL scale. ``saveAsTable`` with an explicit
     ``path`` keeps the data external while registering bucket metadata
     in the session catalog (plain ``.parquet()`` writes drop the
-    bucket spec; only catalog tables carry it)."""
+    bucket spec; only catalog tables carry it).
+
+    An existing catalog table of the same name is dropped first: on some
+    Spark versions ``saveAsTable(mode='overwrite')`` ignores the ``path``
+    option when the table already exists, so data would silently land at
+    the OLD registered location. Dropping re-registers the table at
+    ``path`` unambiguously (the external data at the old location is not
+    deleted by DROP — same as Iceberg's external-table semantics)."""
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE {table}")
     (
         df.write.format("parquet")
         .mode(mode)
