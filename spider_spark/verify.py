@@ -8,6 +8,15 @@ Used by tests/test_queries_vs_duckdb.py and runnable standalone:
 ``--json`` writes a per-query artifact (the committed
 CORRECTNESS_local_r{N}.json files) so the queries the driver's sample
 doesn't cover have a recorded, diffable signal each round.
+
+Known boundary sensitivity (latent, never observed failing): t38's
+entropy compares floats that both engines build by folding c*log2(c) over
+the SAME token-sorted array, so the only cross-engine freedom is libm
+log2 ULPs (~1e-14). A token distribution whose entropy lands EXACTLY on a
+half-boundary of the 4-dp rounding grid could flip floor(x*1e4+0.5) on
+one engine only. If t38 ever FAILs here with a single-row value diff at
+the 4th decimal, that is the diagnosis (see t38's docstring in
+operators/textstats.py) — not a logic regression.
 """
 
 from __future__ import annotations
