@@ -159,11 +159,14 @@ def read_xls(
 ) -> DataFrame:
     """S10 — XLS(X) source (/root/reference/getDirection.py:62-120,
     /root/reference/getGeocode.py:56-99 via xlrd). ``.xlsx`` is a ZIP of
-    SpreadsheetML XML, so the default path is the stdlib reader in
-    :mod:`spider_spark.operators.xlsx` (zipfile + ElementTree — no excel
-    lib needed). Legacy binary ``.xls``, or ``.xlsx`` features the minimal
-    reader rejects, fall back to pandas.read_excel (openpyxl/xlrd) when
+    SpreadsheetML XML, read by the stdlib reader in
+    :mod:`spider_spark.operators.xlsx` (zipfile + ElementTree); legacy
+    binary ``.xls`` is OLE2+BIFF8, read by the stdlib reader in
+    :mod:`spider_spark.operators.xls_biff` (struct only) — no excel lib
+    needed for either. Files beyond the minimal profiles (encrypted
+    workbooks, BIFF5) fall back to pandas.read_excel (openpyxl/xlrd) when
     importable."""
+    from spider_spark.operators.xls_biff import read_xls_rows
     from spider_spark.operators.xlsx import read_xlsx_rows
 
     rows = None
@@ -172,6 +175,11 @@ def read_xls(
             rows = read_xlsx_rows(path, sheet)
         except (zipfile_BadZipFile, KeyError, ValueError):
             rows = None
+    elif path.lower().endswith(".xls"):
+        try:
+            rows = read_xls_rows(path, sheet)
+        except ValueError:
+            rows = None
     if rows is None:
         try:
             import pandas as _pd
@@ -179,8 +187,8 @@ def read_xls(
             pdf = _pd.read_excel(path, sheet_name=sheet)  # needs openpyxl/xlrd
         except ImportError as e:  # pragma: no cover - container lacks excel libs
             raise NotImplementedError(
-                "legacy/complex XLS needs openpyxl/xlrd (pandas.read_excel); "
-                "the stdlib path handles standard .xlsx"
+                "workbook beyond the stdlib profiles (encrypted / BIFF5 / "
+                "exotic .xlsx) needs openpyxl/xlrd via pandas.read_excel"
             ) from e
         return spark.createDataFrame(pdf)
     if not rows:
@@ -209,16 +217,22 @@ def read_xls(
 def write_xls_sink(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
     """S10 write side — the reference writes geocoded results back out as a
     workbook (xlwt outbook, /root/reference/getDirection.py:69-118). A
-    workbook is one ZIP, so like the GeoJSON sink this is a deliberate
+    workbook is one file, so like the GeoJSON sink this is a deliberate
     single-file sink: stream rows driver-side (toLocalIterator — no full
     collect) into the stdlib writer. Excel caps sheets at ~1M rows, so the
-    single-file shape is inherent to the format, not a scale compromise."""
+    single-file shape is inherent to the format, not a scale compromise.
+    A ``.xls`` path gets the legacy BIFF8 writer (the reference's xlwt
+    format); anything else the zip-XML ``.xlsx`` writer."""
+    from spider_spark.operators.xls_biff import write_xls
     from spider_spark.operators.xlsx import write_xlsx
 
     rows: list[list] = [list(df.columns)]
     for r in df.toLocalIterator():
         rows.append([r[c] for c in df.columns])
-    write_xlsx(path, rows, sheet_name=sheet_name)
+    if path.lower().endswith(".xls"):
+        write_xls(path, rows, sheet_name=sheet_name)
+    else:
+        write_xlsx(path, rows, sheet_name=sheet_name)
 
 
 def write_binary_tiles(df: DataFrame, path: str) -> None:
