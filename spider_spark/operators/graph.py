@@ -966,9 +966,9 @@ def g9_reciprocal_links(spark, sf_dir: str):
     row-locally to its canonical unordered pair carrying a direction
     flag, and ONE map-side-combinable groupBy(pair) sums both directions
     at once (a hot pair collapses in partials). The name resolution joins
-    the |hosts|-sized table twice, both broadcast. An edges⨝edges
-    formulation would shuffle the edge table twice and explode on hot
-    pairs; this shape touches each edge exactly once."""
+    the |hosts|-sized table twice, broadcast below the host-count gate.
+    An edges⨝edges formulation would shuffle the edge table twice and
+    explode on hot pairs; this shape touches each edge exactly once."""
     from pyspark.sql import functions as F
 
     hosts, n_hosts, edges0 = _derived_graph(spark, sf_dir)
