@@ -298,6 +298,55 @@ def machine_ceiling(n_small: int = 2, n_big: int = 8) -> dict:
     }
 
 
+def disk_parallel_ceiling(n_small: int = 1, n_big: int = 4,
+                          mb_per_writer: int = 384) -> dict:
+    """Aggregate fsync'd write bandwidth at two writer-process counts —
+    the substrate the multi-executor pair leans on that the CPU/membw
+    probes cannot see: every executor JVM writes its own shuffle files
+    and parquet commits, so if the VM's disk grants one writer as much
+    aggregate bandwidth as four (observed on 2026-08-21: 240 vs
+    267 MB/s — parallel efficiency 0.28), the x4 level pays a wall the
+    x1 level never meets, uniformly inflating every round incl. the
+    fixed-cost ones. Recorded next to the exec-pair artifact, NOT used
+    as a gate (the thread pair shares one JVM's writer path and is
+    unaffected)."""
+    import multiprocessing as mp
+    import time as _t
+
+    def _run(n: int, mb: int) -> float:
+        t0 = _t.time()
+        with mp.Pool(n) as p:
+            p.map(_disk_writer, [(i, mb) for i in range(n)])
+        return n * mb / (_t.time() - t0)
+
+    _run(1, 64)  # warm
+    bw_small = min(_run(n_small, mb_per_writer) for _ in range(2))
+    bw_big = min(_run(n_big, mb_per_writer) for _ in range(2))
+    return {
+        f"disk_mb_s_{n_small}w": round(bw_small, 1),
+        f"disk_mb_s_{n_big}w": round(bw_big, 1),
+        "disk_parallel_efficiency": round(
+            (bw_big / bw_small) / (n_big / n_small), 3
+        ),
+    }
+
+
+def _disk_writer(arg) -> None:
+    """One fsync'd sequential writer (module-level: Pool pickles it)."""
+    i, mb = arg
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_cache", f"diskprobe_{i}.bin",
+    )
+    buf = b"\x5a" * (1 << 20)
+    with open(path, "wb") as f:
+        for _ in range(mb):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    os.remove(path)
+
+
 def _burn(n: int) -> int:
     s = 0
     for i in range(n):
@@ -422,6 +471,11 @@ def run_executor_pair(repo_dir: str) -> dict:
     → BENCH/scaling_exec_1_4.json."""
     world = ensure_world(os.path.join(repo_dir, ".bench_cache", "world_v2"))
     work = os.path.join(repo_dir, ".bench_cache", "work_exec")
+    # recorded, not gated: 4 executor JVMs are 4 concurrent shuffle/commit
+    # writers, and this VM's disk has been observed to grant 4 writers no
+    # more aggregate bandwidth than 1 (efficiency 0.28 on 2026-08-21) —
+    # a wall the x1 level never meets and the cpu/membw probes can't see
+    disk = disk_parallel_ceiling(1, 4)
     preflight = wait_for_quiet_host(2, 8)
     samples: dict[str, list[dict]] = {"x1": [], "x4": []}
     for lv in ("x1", "x4"):
@@ -466,6 +520,7 @@ def run_executor_pair(repo_dir: str) -> dict:
         "machine_ceiling_mid": mid_ceiling,
         "machine_ceiling_resample": resample_probes,
         "machine_ceiling_2_to_8": post_ceiling,
+        "disk_parallel_ceiling_1_to_4": disk,
     }
 
 
