@@ -300,24 +300,24 @@ def c3_frontier_reprioritize(spark, sf_dir):
     g1 fixed-point PageRank onto the frontier. The reference crawls in
     literal ID order; a 10^10-URL frontier crawls important sites first.
 
-    Scale shape: ranks/tiers live at host cardinality (the ntile window
-    runs over that small table only — domain-count rows, one task,
-    broadcastable result); the frontier-sized work is a single broadcast
-    hash join plus per-row integer column math. The composite priority is
-    exactly the engine's dequeue key shape (engine/crawler.py salted
-    top-K per host), so this plugs in as the priority recompute step
-    between crawl rounds — integer-exact, hash-stable across engines."""
-    from pyspark.sql import Window
-
+    Scale shape: ranks/tiers live at host cardinality and the quartile
+    assignment is the two-phase ntile (scalewin.py), so no
+    single-partition window exists at any host count; the frontier-sized
+    work is a single broadcast hash join plus per-row integer column
+    math. The composite priority is exactly the engine's dequeue key
+    shape (engine/crawler.py salted top-K per host), so this plugs in as
+    the priority recompute step between crawl rounds — integer-exact,
+    hash-stable across engines."""
     from spider_spark.operators.graph import g1_host_pagerank
+    from spider_spark.operators.scalewin import two_phase_ntile
 
     ranks = g1_host_pagerank(spark, sf_dir)
-    tiers = ranks.select(
-        "source",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("pr"), "source"))
-        .alias("host_tier"),
-    )
+    tiers = two_phase_ntile(
+        ranks.select("source", "pr"),
+        [("pr", True), ("source", False)],
+        4,
+        "host_tier",
+    ).select("source", "host_tier")
     d = load(spark, sf_dir, "documents")
     frontier = d.select(
         "doc_id",
@@ -453,30 +453,34 @@ def w9_host_concentration(spark, sf_dir):
     salted dequeue (O5) and AQE skew handling exist for.
 
     Scale shape: the corpus-sized work is ONE map-side-combinable
-    groupBy(source) sum; ranking and the running share are a window over
-    the |hosts|-row aggregate only — host cardinality, the same
-    single-task-window trade t13/w5 document (swap for the w6 sketch
-    pattern if hosts ever outgrow one task). Integer ppm floors keep the
-    hash margin-free."""
+    groupBy(source) sum; the rank and the running share come from the
+    two-phase cumulative sum (scalewin.py — per-partition local cumsums
+    plus a driver prefix of the O(partitions) partition totals), so no
+    single-partition window exists even at 10^8-host cardinality.
+    Integer ppm floors keep the hash margin-free."""
+    from spider_spark.operators.scalewin import two_phase_cumsum
+
     d = load(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("host_bytes")
     )
     tot = per.agg(F.sum("host_bytes").alias("t"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("host_bytes"), "source")
+    cum = two_phase_cumsum(
+        per,
+        [("host_bytes", True), ("source", False)],
+        "host_bytes",
+        "cum_bytes",
+        out_idx="rk",
+    )
     return (
-        per.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "host_bytes",
-            F.row_number().over(w).cast("long").alias("rk"),
-            F.expr(
-                "CAST((1000000 * sum(host_bytes) OVER ("
-                "ORDER BY host_bytes DESC, source ROWS BETWEEN UNBOUNDED"
-                " PRECEDING AND CURRENT ROW)) div t AS BIGINT)"
-            ).alias("cum_ppm"),
+            F.col("rk").cast("long").alias("rk"),
+            F.expr("CAST((1000000 * cum_bytes) div t AS BIGINT)").alias(
+                "cum_ppm"
+            ),
         )
     )
 
@@ -860,11 +864,14 @@ def c8_fetch_budget(spark, sf_dir):
 
     Scale shape (100 TB): the corpus-sized work is ONE map-side-combinable
     groupBy(host); everything after (total, floor quotas, remainder
-    ranking, leftover distribution) runs on the |hosts|-sized aggregate —
-    the global remainder-rank window orders thousands of hosts, never
-    row-level data. The two 1-row aggregates (grand total, leftover) come
-    back as broadcasts. Integer cross-multiplication throughout: no float
-    shares to defend across engines."""
+    ranking, leftover distribution) runs on the |hosts|-sized aggregate,
+    and the remainder rank is the two-phase order index (scalewin.py) so
+    no single-partition window exists at any host count. The two 1-row
+    aggregates (grand total, leftover) come back as broadcasts. Integer
+    cross-multiplication throughout: no float shares to defend across
+    engines."""
+    from spider_spark.operators.scalewin import two_phase_order_index
+
     d = load(spark, sf_dir, "documents")
     pend = d.groupBy("source").agg(F.count(F.lit(1)).alias("pending"))
     tot = pend.agg(F.sum("pending").alias("total"))
@@ -876,12 +883,11 @@ def c8_fetch_budget(spark, sf_dir):
     leftover = q.agg(
         (F.lit(_C8_BUDGET) - F.sum("floor_q")).alias("leftover")
     )
-    from pyspark.sql import Window
-
-    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    ranked, _ = two_phase_order_index(
+        q, [("rem", True), ("source", False)], "rk", start=1
+    )
     return (
-        q.withColumn("rk", rk)
-        .crossJoin(F.broadcast(leftover))
+        ranked.crossJoin(F.broadcast(leftover))
         .select(
             "source",
             "pending",

@@ -31,7 +31,9 @@ combinable SUM shuffle keyed on ``dst``. At Common-Crawl cardinality
 (10^8–10^9 hosts) a score table is tens of GB — over Spark's broadcast
 ceiling — so above ``_BCAST_HOSTS_MAX`` every iterative op here switches to
 the standard Pregel layout: the edge table is hash-partitioned on its join
-key ONCE and pinned (``localCheckpoint`` preserves ``outputPartitioning``),
+key ONCE and pinned with ``persist()`` (a cached plan keeps its
+``outputPartitioning``; a localCheckpoint drops it behind a Scan
+ExistingRDD and would re-shuffle the edges every iteration — measured),
 the score vector stays hash-partitioned on ``host_id`` across iterations,
 and each step is a co-partitioned shuffled-hash join — the only
 per-iteration exchange is the SUM keyed on the opposite endpoint (the
@@ -80,63 +82,14 @@ def _shuffle_parts(spark) -> int:
 
 def _two_phase_order_index(df, order_col: str, out_col: str, start: int = 0,
                            descending: bool = False):
-    """``row_number() - 1 + start`` over the total order of ``order_col``
-    WITHOUT a single-partition window (the "No Partition Defined For Window
-    Operation" shape that sorts the world in one task at 10^8 hosts).
+    """Delegates to :func:`spider_spark.operators.scalewin.
+    two_phase_order_index` (the shared two-phase global-order machinery;
+    see that module's docstring for the protocol and determinism
+    argument). Kept here under the original name because the graph suite
+    and its plan tests grew around it."""
+    from spider_spark.operators.scalewin import two_phase_order_index
 
-    Two-phase, same as ``engine.crawler.assign_global_seq``
-    (crawler.py:84): range-partition on the key, prefix-sum the
-    per-partition counts on the driver (an O(partitions) collect), then add
-    each partition's offset map-side. The input is expected distinct on
-    ``order_col`` (callers pass distinct-host / distinct-score tables), so
-    the assigned index is also the dense rank. The pid-stamped input is
-    local-checkpointed BEFORE the count collect: RangePartitioner samples
-    with an RDD-id-seeded reservoir, so an un-pinned plan could re-sample
-    different boundaries between the collect and the final mapInPandas.
-
-    Returns ``(indexed_df, total_count)``.
-    """
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    spark = df.sparkSession
-    n_parts = _shuffle_parts(spark)
-    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    d = (
-        df.repartitionByRange(n_parts, key)
-        .sortWithinPartitions(key)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = {
-        r["_pid"]: r["c"]
-        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    cols = [f.name for f in df.schema.fields]
-    schema = T.StructType(
-        [f for f in d.schema.fields if f.name != "_pid"]
-        + [T.StructField(out_col, T.LongType())]
-    )
-
-    def _gen(batches):
-        nxt = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if nxt is None:
-                nxt = offsets[int(pdf["_pid"].iloc[0])]
-            out = pdf[cols].copy()
-            out[out_col] = pd.array(range(nxt, nxt + len(pdf)), dtype="int64")
-            nxt += len(pdf)
-            yield out
-
-    return d.mapInPandas(_gen, schema=schema), acc - start
+    return two_phase_order_index(df, [(order_col, descending)], out_col, start)
 
 
 def _dense_rank_desc(df, col: str, out_col: str):

@@ -375,10 +375,14 @@ def e3_rfm_segments(spark, sf_dir):
 
     Scale shape: the purchase filter reaches the scan; per-user stats are
     one map-side-combinable aggregate; the anchor is a broadcast 1-row
-    max; the ntile windows run over the |users|-sized AGGREGATE, never the
-    raw event log (same post-aggregate-window discipline as t13). At
-    unbounded |users| the w6 sketch path (approx_percentile boundaries)
-    replaces the exact quartile, exactly as documented there."""
+    max; the quartiles run over the |users|-sized AGGREGATE via the
+    two-phase ntile (scalewin.py), never the raw event log and never a
+    single-partition window — so the shape holds even at web-scale user
+    cardinality. At unbounded |users| the w6 sketch path
+    (approx_percentile boundaries) remains the cheaper alternative,
+    exactly as documented there."""
+    from spider_spark.operators.scalewin import two_phase_ntile
+
     e = load(spark, sf_dir, "events")
     anchor = e.agg(F.max("ts").alias("mx"))
     rfm = (
@@ -393,15 +397,19 @@ def e3_rfm_segments(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("monetary"),
         )
     )
-    wr = Window.orderBy("recency_days", "user_id")
-    wf = Window.orderBy(F.desc("frequency"), "user_id")
-    return rfm.select(
+    scored = two_phase_ntile(
+        rfm, [("recency_days", False), ("user_id", False)], 4, "r_score"
+    )
+    scored = two_phase_ntile(
+        scored, [("frequency", True), ("user_id", False)], 4, "f_score"
+    )
+    return scored.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).cast("long").alias("r_score"),
-        F.ntile(4).over(wf).cast("long").alias("f_score"),
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
     )
 
 

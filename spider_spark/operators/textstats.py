@@ -652,18 +652,23 @@ def t13_source_tiers(spark, sf_dir):
     """Crawl-tier assignment: aggregate per source (≙ host/domain in a live
     crawl) and split sources into 3 quality tiers by average document
     length — the host-tiering step a tiered recrawl policy feeds on
-    (tier 1 recrawled often, tier 3 rarely). The ntile window runs over
-    the per-source AGGREGATE (|hosts| rows, not the corpus), so the
-    single-partition window input is bounded by host cardinality; the
-    corpus-sized work is one map-side-combinable groupBy(source)."""
+    (tier 1 recrawled often, tier 3 rarely). The tiers run over the
+    per-source AGGREGATE (|hosts| rows, not the corpus) via the two-phase
+    ntile (scalewin.py — range-partition + driver prefix-sum, standard
+    SQL bucket sizing), so NO single-partition window exists even at
+    10^8-host cardinality; the corpus-sized work is one
+    map-side-combinable groupBy(source)."""
+    from spider_spark.operators.scalewin import two_phase_ntile
+
     d = load(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
     )
-    w = Window.orderBy(F.desc("avg_chars"), "source")
-    return s.withColumn("tier", F.ntile(3).over(w))
+    return two_phase_ntile(
+        s, [("avg_chars", True), ("source", False)], 3, "tier"
+    )
 
 
 # ---------------------------------------------------------------------------

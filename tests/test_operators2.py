@@ -377,7 +377,8 @@ def test_host_degrees_conservation(spark, sf_dir):
 _BNLJ_WHITELIST = {
     "ann_bruteforce_topk": 1,  # fixed query set broadcast, non-equi (<>)
     "ann_pq": 1,               # fixed 8-query ADC LUT broadcast, non-equi (<>)
-    "e3_rfm_segments": 1,      # 1-row global as-of anchor
+    # e3_rfm_segments: the 1-row as-of anchor's BNLJ now executes inside
+    # the two-phase ntile's pinning checkpoint, so the final plan has 0
     "emb_knn_label": 1,        # fixed query set broadcast, non-equi (<>)
     "g4_hits": 2,              # 1-row normalization total per half-step
     "j2_cross_modes": 1,       # constant mode enumeration
@@ -392,8 +393,10 @@ _BNLJ_WHITELIST = {
     "t16_token_familiarity": 1,  # 1-row corpus-size aggregate
     "t20_bm25_rank": 1,        # 1-row corpus stats (N, total dl) broadcast
     "a14_equiwidth_hist": 1,   # 1-row min/max extent aggregate broadcast
-    "c8_fetch_budget": 3,      # 1-row total + leftover aggregates (total's
-                               # BNLJ appears in both reuse branches)
+    "c8_fetch_budget": 2,      # 1-row total + leftover aggregates (the
+                               # remainder-rank branch's copy of the total
+                               # BNLJ now runs inside the two-phase
+                               # checkpoint, leaving the leftover branch's)
     "w9_host_concentration": 1,  # 1-row corpus-total aggregate broadcast
     "t28_source_drift": 2,     # 64-bucket global marginal + 1-row total
     "sim_mmr_rerank": 79,      # unrolled greedy picks over the ≤12-row
