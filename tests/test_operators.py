@@ -561,16 +561,18 @@ def test_pii_redact_is_scan_plus_map(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_source_tiers_window_is_post_aggregate(spark, sf_dir):
-    """t13's global ntile window must run over the per-source aggregate
-    (|hosts| rows), not the corpus: exactly one Window, fed by a
-    HashAggregate."""
+def test_source_tiers_has_no_window_at_all(spark, sf_dir):
+    """t13's tier assignment runs over the per-source aggregate (|hosts|
+    rows) via the two-phase ntile — since round 5 there is NO window in
+    the plan at any host count (the corpus-sized work stays one
+    map-side-combinable HashAggregate; the tier math is an Arrow batch
+    pass over the pinned aggregate)."""
     plan = (
         QUERIES["t13_source_tiers"](spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Window") >= 1
-    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
 
 
